@@ -1,0 +1,132 @@
+"""Canonical SDF geometry field.
+
+Equivalent of ``VolumeSDF`` (`models/rf/geometry.py:109-266` in
+taconite/IntrinsicAvatar): progressive hash-grid encoding + 1-hidden-layer
+sphere-initialized MLP; channel 0 of the MLP output is the SDF, the full
+output is the geometry feature vector.  Analytic gradients come from
+``jax.vjp`` (the reference uses torch autograd); the curvature proxy is the
+PermutoSDF tangent-perturbation angle (`models/rf/geometry.py:173-205`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intrinsicavatar_tpu.registry import register
+from intrinsicavatar_tpu.nets.mlp import make_mlp
+from intrinsicavatar_tpu.ops.hashgrid import (
+    HashGridSpec, hashgrid_encode, init_hashgrid,
+)
+from intrinsicavatar_tpu.ops.encoding import hashgrid_level_mask
+from intrinsicavatar_tpu.ops.math import safe_normalize
+
+
+def hashgrid_spec_from_config(cfg) -> HashGridSpec:
+    return HashGridSpec(
+        n_levels=cfg.get("n_levels", 16),
+        n_features_per_level=cfg.get("n_features_per_level", 2),
+        log2_hashmap_size=cfg.get("log2_hashmap_size", 19),
+        base_resolution=cfg.get("base_resolution", 16),
+        per_level_scale=cfg.get("per_level_scale", 1.447269237440378),
+        include_xyz=cfg.get("include_xyz", False),
+        xyz_scale=cfg.get("xyz_scale", 2.0),
+        xyz_offset=cfg.get("xyz_offset", -1.0),
+    )
+
+
+@register("volume-sdf")
+class VolumeSDF:
+    def __init__(self, config):
+        self.config = config
+        self.feature_dim = config.get("feature_dim", 13)
+        enc_cfg = config.get("xyz_encoding_config", {})
+        self.spec = hashgrid_spec_from_config(enc_cfg)
+        self.enc_cfg = enc_cfg
+        self.mlp = make_mlp(self.spec.n_output_dims, self.feature_dim,
+                            config.get("mlp_network_config", {}))
+        self.sdf_bias = float(config.get("sdf_bias", 0.0))
+        # bbox set once from the deformer's canonical bbox
+        # (`models/rf/geometry.py:61-68` prepare_bbox).
+        self.center = np.zeros(3, np.float32)
+        self.scale = np.ones(3, np.float32)
+        self._bbox_set = False
+
+    def prepare_bbox(self, bbox: np.ndarray):
+        """``bbox`` is ``[2, 3]`` (min, max) in canonical space; first call wins."""
+        if self._bbox_set:
+            return
+        bbox = np.asarray(bbox, np.float32)
+        self.center = (bbox[0] + bbox[1]) / 2.0
+        self.scale = bbox[1] - bbox[0]
+        self._bbox_set = True
+
+    def init(self, key: jax.Array):
+        k1, k2 = jax.random.split(key)
+        return {"table": init_hashgrid(k1, self.spec),
+                "mlp": self.mlp.init(k2)}
+
+    def level_mask(self, global_step):
+        return hashgrid_level_mask(
+            global_step,
+            n_levels=self.spec.n_levels,
+            n_features_per_level=self.spec.n_features_per_level,
+            start_level=self.enc_cfg.get("start_level", self.spec.n_levels),
+            start_step=self.enc_cfg.get("start_step", 0),
+            update_steps=self.enc_cfg.get("update_steps", 1),
+            smooth=self.enc_cfg.get("update_mode", "non_smooth") == "smooth",
+            full_band_step=self.enc_cfg.get("full_band_step", 5000),
+        )
+
+    def _normalize(self, x):
+        c = jnp.asarray(self.center)
+        s = jnp.asarray(self.scale)
+        return (x - c) / s + 0.5
+
+    def features(self, params, x, level_mask=None):
+        """``[N,3] -> [N, feature_dim]``; channel 0 is the SDF."""
+        xn = self._normalize(x)
+        enc = hashgrid_encode(params["table"], xn, self.spec, level_mask)
+        out = self.mlp(params["mlp"], enc)
+        if self.sdf_bias:
+            out = out.at[..., 0].add(self.sdf_bias)
+        return out
+
+    def sdf(self, params, x, level_mask=None):
+        return self.features(params, x, level_mask)[..., 0]
+
+    def sdf_grad_feature(self, params, x, level_mask=None,
+                         with_laplace: bool = False, rng: jax.Array | None = None):
+        """Returns ``(sdf, grad, feature[, laplace])``.
+
+        ``grad`` is the analytic SDF gradient wrt the input points; when
+        ``with_laplace``, also returns the PermutoSDF curvature proxy: the
+        angle (normalized by pi) between normals at ``x`` and at a random
+        tangent perturbation ``x + 1e-4 * t``.
+        """
+        feat = self.features(params, x, level_mask)
+        sdf = feat[..., 0]
+
+        grad = jax.grad(
+            lambda p: jnp.sum(self.sdf(params, p, level_mask))
+        )(x)
+
+        if not with_laplace:
+            return sdf, grad, feat
+
+        eps = 1e-4
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        rand_dirs = jax.random.uniform(rng, x.shape, dtype=x.dtype)
+        rand_dirs = safe_normalize(rand_dirs)
+        normal = safe_normalize(grad)
+        tangent = jnp.cross(normal, rand_dirs)
+        x_d = x + eps * tangent
+        grad_d = jax.grad(
+            lambda p: jnp.sum(self.sdf(params, p, level_mask))
+        )(x_d)
+        dot = jnp.sum(safe_normalize(grad) * safe_normalize(grad_d), axis=-1)
+        angle = jnp.arccos(jnp.clip(dot, -1.0 + 1e-6, 1.0 - 1e-6))
+        laplace = angle / jnp.pi
+        return sdf, grad, feat, laplace
