@@ -1,0 +1,368 @@
+"""Articulated deformers: Fast-SNARF rigid inverse skinning + facade.
+
+Equivalents of `models/deformers/snarf_deformer.py` and
+`models/deformers/deformer.py` (taconite/IntrinsicAvatar), redesigned
+functionally:
+
+  * static, once-per-sequence state (canonical rest pose, inverse rest
+    transforms, the LBS weight voxel) lives in :class:`DeformerStatics`;
+  * per-frame state (bone transforms, world->SMPL transform, baked transform
+    voxels, posed joints) lives in :class:`FrameState`, produced by a
+    jit-able ``prepare`` from the batch's SMPL parameters;
+  * the point query ``deform`` runs the Broyden search over 13 bone-anchored
+    initializations, filters duplicate roots, keeps the top-K surviving
+    candidates (rectangularized; the reference processes the ragged valid
+    set), queries the canonical field on them, and reduces by min-SDF
+    (`snarf_deformer.py:187-255`).
+
+Gradient topology mirrors the reference: the root search is under
+``stop_gradient``; pose gradients flow only through the implicit-function
+correction ``xc += -J^-1 (fwd_skin(xc) - stop_grad(fwd_skin(xc)))``
+(`fast_snarf/deformer_torch.py:57-76`) and the SMPL forward inside
+``prepare``; the world->SMPL ray transform is detached
+(`snarf_deformer.py:128-163`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intrinsicavatar_tpu.registry import register, make
+from intrinsicavatar_tpu.ops.math import rigid_inverse, rodrigues, safe_normalize
+from intrinsicavatar_tpu.anim import smpl as smpl_mod
+from intrinsicavatar_tpu.anim.smpl import (
+    BodyModel, smpl_forward, get_predefined_rest_pose, get_bbox_from_verts,
+    make_synthetic_body_model, load_body_model,
+)
+from intrinsicavatar_tpu.anim.lbs_voxel import (
+    VoxelSpec, make_voxel_spec, make_weight_voxel, precompute_transform_voxels,
+)
+from intrinsicavatar_tpu.anim.broyden import (
+    INIT_BONES, BroydenResult, broyden_search, filter_duplicates,
+    forward_skinning, grid_sample_3d,
+)
+
+
+class DeformerStatics(NamedTuple):
+    """Once-per-sequence arrays (device)."""
+
+    tfs_inv_t: jax.Array     # [24,4,4] inverse canonical-pose transforms
+    lbs_voxel: jax.Array     # [24, D, H, W]
+    vs_template: jax.Array   # [V, 3] canonical-pose vertices
+
+
+class FrameState(NamedTuple):
+    """Per-frame arrays produced by ``prepare`` (all jit-traced)."""
+
+    tfs: jax.Array           # [24,4,4] canonical -> SMPL-space bone transforms
+    w2s: jax.Array           # [4,4] world -> SMPL (pelvis-aligned) transform
+    voxel_d: jax.Array       # [3, D, H, W] fwd-skinned voxel positions
+    voxel_J: jax.Array       # [12, D, H, W] blended transform voxel
+    vertices: jax.Array      # [V, 3] posed vertices in SMPL space
+    joints: jax.Array        # [24, 3] posed joints in SMPL space
+    rot_mats: jax.Array      # [1, 24, 9] local joint rotations (root=I)
+
+
+@register("fast-snarf")
+class FastSNARF:
+    """Rigid inverse-LBS deformer (Fast-SNARF) with explicit weight voxel."""
+
+    def __init__(self, config):
+        self.config = config
+        dcfg = config.get("deformer_config", config)
+        self.resolution = dcfg.get("resolution", 128)
+        self.global_scale = dcfg.get("global_scale", 1.2)
+        self.cano_pose = dcfg.get("cano_pose", "a_pose")
+        self.use_j_inv = dcfg.get("use_j_inv", False)
+        self.optimize_betas = dcfg.get("optimize_betas", False)
+        self.cvg_thresh = dcfg.get("cvg", 1e-5)
+        self.dvg_thresh = dcfg.get("dvg", 1e-1)
+        self.max_candidates = dcfg.get("max_candidates", 4)
+        self.n_init = len(INIT_BONES)
+
+        model_path = config.get("model_path", None)
+        if model_path in (None, "synthetic"):
+            self.body_model: BodyModel = make_synthetic_body_model()
+        else:
+            self.body_model = load_body_model(model_path,
+                                              config.get("gender", "neutral"))
+
+        self.spec: VoxelSpec | None = None
+        self.bbox: np.ndarray | None = None
+        self.statics: DeformerStatics | None = None
+        self.initialized = False
+
+    # ---------------------------------------------------------- init
+
+    def initialize(self, betas: np.ndarray) -> DeformerStatics:
+        """Build canonical-pose statics (host side, once per sequence).
+
+        Mirrors `snarf_deformer.py:46-79`: canonical SMPL forward at the
+        predefined rest pose, inverse rest transforms, KNN+smoothed LBS
+        weight voxel, canonical bbox.
+        """
+        body_pose_t = jnp.asarray(get_predefined_rest_pose(self.cano_pose))
+        out = smpl_forward(self.body_model, jnp.asarray(betas).reshape(-1)[:10],
+                           body_pose_t)
+        tfs_inv_t = rigid_inverse(out.A[0])
+        verts = np.asarray(out.vertices[0])
+        self.spec = make_voxel_spec(verts, self.resolution, self.global_scale)
+        self.bbox = get_bbox_from_verts(verts)
+        lbs_voxel = make_weight_voxel(
+            out.vertices[0], jnp.asarray(self.body_model.lbs_weights),
+            self.spec,
+        )
+        self.statics = DeformerStatics(
+            tfs_inv_t=tfs_inv_t,
+            lbs_voxel=lbs_voxel,
+            vs_template=out.vertices[0],
+        )
+        self.initialized = True
+        return self.statics
+
+    def init(self, key=None):
+        return {}
+
+    # ---------------------------------------------------------- per frame
+
+    def prepare(self, statics: DeformerStatics, smpl_params: dict) -> FrameState:
+        """SMPL forward + transform baking (`snarf_deformer.py:81-126`).
+
+        ``smpl_params`` carries ``betas/body_pose/global_orient/transl`` and
+        the ``*_correction`` residuals from the pose-correction module.
+        """
+        betas = smpl_params["betas"].reshape(-1)[:10]
+        if self.optimize_betas:
+            betas = betas + smpl_params["betas_correction"].reshape(-1)[:10]
+        body_pose = (smpl_params["body_pose"].reshape(-1)
+                     + smpl_params["pose_correction"].reshape(-1))
+        global_orient = (smpl_params["global_orient"].reshape(-1)
+                         + smpl_params["global_orient_correction"].reshape(-1))
+        transl = (smpl_params["transl"].reshape(-1)
+                  + smpl_params["transl_correction"].reshape(-1))
+
+        out = smpl_forward(self.body_model, betas, body_pose, global_orient,
+                           transl)
+        s2w = out.A[0, 0]
+        w2s = rigid_inverse(s2w)
+        tfs = jnp.einsum("ab,jbc,jcd->jad", w2s, out.A[0], statics.tfs_inv_t)
+        voxel_d, voxel_J = precompute_transform_voxels(
+            statics.lbs_voxel, tfs, self.spec)
+
+        verts = out.vertices[0] @ w2s[:3, :3].T + w2s[:3, 3]
+        joints = out.joints[0] @ w2s[:3, :3].T + w2s[:3, 3]
+
+        # local rotations for the pose encoder use the *uncorrected* pose
+        # (`snarf_deformer.py:113-121`)
+        rots = rodrigues(smpl_params["body_pose"].reshape(23, 3))
+        rot_mats = jnp.concatenate(
+            [jnp.eye(3)[None], rots], axis=0).reshape(1, 24, 9)
+
+        return FrameState(tfs=tfs, w2s=w2s, voxel_d=voxel_d, voxel_J=voxel_J,
+                          vertices=verts, joints=joints, rot_mats=rot_mats)
+
+    # ---------------------------------------------------------- transforms
+
+    def transform_rays_w2s(self, frame: FrameState, rays: jax.Array):
+        """World rays ``[R,8]`` -> SMPL-space rays; near/far = ||o|| -+ 1.
+
+        The transform is detached (`snarf_deformer.py:128-143`).
+        """
+        w2s = jax.lax.stop_gradient(frame.w2s)
+        o = rays[:, :3] @ w2s[:3, :3].T + w2s[:3, 3]
+        d = rays[:, 3:6] @ w2s[:3, :3].T
+        dist = jnp.linalg.norm(o, axis=-1, keepdims=True)
+        return jnp.concatenate([o, d, dist - 1.0, dist + 1.0], axis=-1)
+
+    def transform_dirs_w2s(self, frame: FrameState, d: jax.Array):
+        w2s = jax.lax.stop_gradient(frame.w2s)
+        return safe_normalize(d @ w2s[:3, :3].T)
+
+    def transform_dirs_s2w(self, frame: FrameState, d: jax.Array):
+        w2s = jax.lax.stop_gradient(frame.w2s)
+        return safe_normalize(d @ w2s[:3, :3])
+
+    def get_bbox_deformed(self, frame: FrameState) -> jax.Array:
+        """SMPL-space bbox of the fwd-skinned voxel grid ``[2,3]``."""
+        v = frame.voxel_d.reshape(3, -1)
+        return jnp.stack([v.min(1), v.max(1)])
+
+    # ---------------------------------------------------------- queries
+
+    def query_weights(self, statics: DeformerStatics, x: jax.Array):
+        """Trilinear LBS weights at canonical points (border padding)."""
+        nc = self.spec.normalize(x)
+        return grid_sample_3d(statics.lbs_voxel, nc, padding="border")
+
+    def search(self, frame: FrameState, pts: jax.Array) -> BroydenResult:
+        """Broyden root search over the 13 bone inits; all under stop_grad."""
+        N = pts.shape[0]
+        I = self.n_init
+        xd = jnp.repeat(jax.lax.stop_gradient(pts), I, axis=0)
+        bone_idx = jnp.tile(jnp.asarray(INIT_BONES), N)
+        res = broyden_search(
+            xd, bone_idx,
+            jax.lax.stop_gradient(frame.voxel_J),
+            jax.lax.stop_gradient(frame.tfs),
+            jnp.asarray(self.spec.offset),
+            jnp.asarray(self.spec.scale_kernel),
+            self.cvg_thresh, self.dvg_thresh,
+        )
+        return res
+
+    def deform(self, statics: DeformerStatics, frame: FrameState,
+               pts: jax.Array, geometry_fn: Callable, with_jac: bool = False,
+               eval_mode: bool = True):
+        """Canonicalize points, query geometry, min-SDF candidate reduce.
+
+        ``geometry_fn(xc [M,3]) -> ((sdf, grad_cano, feat[, laplace]) | sdf,
+        J_inv_nr [M,3,3])`` — the non-rigid deformer is composed inside it by
+        the facade.  Returns
+        ``(pts_cano, sdf, valid_any, sdf_grad_obs, sdf_grad_cano, feature
+        [, laplace])`` with invalid points carrying sdf=1e5
+        (`snarf_deformer.py:187-255`).
+        """
+        N = pts.shape[0]
+        I, K = self.n_init, min(self.max_candidates, self.n_init)
+        res = self.search(frame, pts)
+        xc = res.xc.reshape(N, I, 3)
+        j_inv = res.j_inv.reshape(N, I, 3, 3)
+        valid = filter_duplicates(xc, res.valid.reshape(N, I))
+
+        # Rectangularize: keep the first K valid candidates per point.  The
+        # reference evaluates the ragged valid set; >K survivors are rare
+        # (duplicates are filtered) and dropping them only skips redundant
+        # near-identical roots.
+        order = jnp.argsort(~valid, axis=1, stable=True)[:, :K]   # [N,K]
+        take = lambda a: jnp.take_along_axis(
+            a, order.reshape(N, K, *([1] * (a.ndim - 2))), axis=1)
+        xc_k = take(xc)                                           # [N,K,3]
+        jinv_k = take(j_inv)                                      # [N,K,3,3]
+        valid_k = jnp.take_along_axis(valid, order, axis=1)       # [N,K]
+
+        xc_flat = xc_k.reshape(N * K, 3)
+        valid_flat = valid_k.reshape(N * K)
+
+        if not eval_mode:
+            # implicit-diff correction: gradients to pose flow through the
+            # forward skinning of the (detached) roots.
+            weights = self.query_weights(statics,
+                                         jax.lax.stop_gradient(xc_flat))
+            xd_opt, fwd_rot = forward_skinning(
+                jax.lax.stop_gradient(xc_flat), weights, frame.tfs)
+            grad_inv = jax.lax.stop_gradient(jinv_k.reshape(N * K, 3, 3))
+            corr = -jnp.einsum("mab,mb->ma", grad_inv,
+                               xd_opt - jax.lax.stop_gradient(xd_opt))
+            xc_flat = xc_flat + jnp.where(valid_flat[:, None], corr, 0.0)
+        else:
+            weights = self.query_weights(statics, xc_flat)
+            _, fwd_rot = forward_skinning(xc_flat, weights, frame.tfs)
+
+        c2w = jinv_k.reshape(N * K, 3, 3) if self.use_j_inv else fwd_rot
+
+        ret, j_inv_nr = geometry_fn(xc_flat)
+        c2w = c2w @ j_inv_nr
+        if not isinstance(ret, (tuple, list)):
+            ret = (ret,)
+        sdf = jnp.where(valid_flat, ret[0], 1e5).reshape(N, K)
+
+        idx = jnp.argmin(sdf, axis=-1)                            # [N]
+        gather = lambda a: jnp.take_along_axis(
+            a.reshape(N, K, -1), idx[:, None, None], axis=1)[:, 0]
+
+        out = [gather(xc_flat), jnp.min(sdf, axis=-1),
+               jnp.any(valid_k, axis=-1)]
+        default_grad = jnp.asarray([0.0, 0.0, 1.0])
+        if len(ret) > 1:
+            grad_cano = jnp.where(valid_flat[:, None], ret[1], default_grad)
+            grad_obs = jnp.where(
+                valid_flat[:, None],
+                jnp.einsum("mab,mb->ma", c2w, grad_cano), default_grad)
+            out.append(gather(grad_obs))
+            out.append(gather(grad_cano))
+        if len(ret) > 2:
+            feat = jnp.where(valid_flat[:, None], ret[2], 0.0)
+            out.append(gather(feat))
+        if len(ret) > 3:
+            lap = jnp.where(valid_flat, ret[3], 0.0)
+            out.append(gather(lap)[:, 0])
+        return out
+
+
+@register("snarf_deformer")
+class SNARFDeformer:
+    """Facade composing the rigid Fast-SNARF with an optional non-rigid
+    displacement field (`models/deformers/deformer.py:33-77`).
+
+    The non-rigid deformer runs *inside* the canonical geometry query:
+    ``x -> non_rigid(x) -> geometry(x')``, chaining the inverse Jacobians.
+    """
+
+    def __init__(self, config):
+        self.config = config
+        self.rigid = make(config.rigid_deformer.name, config.rigid_deformer)
+        self.non_rigid = make(config.non_rigid_deformer.name,
+                              config.non_rigid_deformer)
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"rigid": self.rigid.init(k1),
+                "non_rigid": self.non_rigid.init(k2)}
+
+    def initialize(self, betas):
+        statics = self.rigid.initialize(betas)
+        self.non_rigid.prepare_bbox(self.rigid.bbox)
+        return statics
+
+    @property
+    def bbox(self):
+        return self.rigid.bbox
+
+    def prepare(self, statics, smpl_params):
+        return self.rigid.prepare(statics, smpl_params)
+
+    def __call__(self, params, statics, frame, points, cond, geometry_fn,
+                 with_jac=False, eval_mode=False, global_step=0):
+        def composed_geometry_fn(x):
+            x_nr, j_inv_nr = self.non_rigid(
+                params["non_rigid"], x, cond=cond, with_jac=with_jac,
+                global_step=global_step)
+            return geometry_fn(x_nr), j_inv_nr
+
+        return self.rigid.deform(statics, frame, points, composed_geometry_fn,
+                                 with_jac=with_jac, eval_mode=eval_mode)
+
+
+@register("dummy_deformer")
+class DummyDeformer:
+    """Identity deformer (no articulation)."""
+
+    def __init__(self, config=None):
+        self.config = config
+        self.bbox = np.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]],
+                               np.float32)
+
+    def init(self, key=None):
+        return {}
+
+    def initialize(self, betas):
+        return None
+
+    def prepare(self, statics, smpl_params):
+        return None
+
+    def __call__(self, params, statics, frame, points, cond, geometry_fn,
+                 with_jac=False, eval_mode=False, global_step=0):
+        ret = geometry_fn(points)
+        if not isinstance(ret, (tuple, list)):
+            ret = (ret,)
+        N = points.shape[0]
+        out = [points, ret[0], jnp.ones(N, bool)]
+        if len(ret) > 1:
+            out += [ret[1], ret[1]]
+        out += list(ret[2:])
+        return out
