@@ -139,7 +139,7 @@ class VolumeRefDirRadiance(_RadianceBase):
             p["table"] = init_hashgrid(k1, self.spec)
         return p
 
-    def __call__(self, params, points, features, dirs, normals,
+    def __call__(self, params, points, features, dirs, normals=None,
                  level_mask=None, sh_mask=None, feature_only=False):
         xyz_embd = self._xyz_embed(params, points, level_mask)
         if feature_only:

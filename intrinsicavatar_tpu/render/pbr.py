@@ -1,0 +1,327 @@
+"""Physically based shading: scattering-point sampling + secondary rays.
+
+Rectangular re-design of the reference's Monte-Carlo volumetric path tracer
+(`models/intrinsic_avatar.py:546-930,1289-1490` and
+`models/pbr/utils.py:70-229` in taconite/IntrinsicAvatar):
+
+  * :func:`sample_volume_interaction` — draw ``spp`` scattering points per
+    ray from the unnormalized weight CDF (background bin = remaining
+    transmittance), pinned at the first SDF zero-crossing; reuse the primary
+    pass's midpoint materials/normals (no re-query).
+  * :func:`compute_indirect_radiance` — march secondary rays through the
+    occupancy grid (near 0 -> far 1.5, 64 coarse samples), one
+    zero-crossing-anchored importance round (4 samples), shade -> per-ray
+    (transmittance, indirect rgb).
+  * :func:`pbr_forward` — the four render modes: ``uniform_light`` (training
+    default: 16x32 stratified sphere, per-ray shuffled), ``light`` (emitter
+    importance sampling), ``mats`` (BRDF sampling), ``mis`` (both, combined
+    with MIS weights).
+
+Secondary radiance is computed under ``stop_gradient`` (the reference wraps
+it in ``torch.no_grad``); gradients flow only through materials/normals via
+``scatterer.eval``, the emitter radiance, and the kd/ks composition.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intrinsicavatar_tpu.ops import resample as RS
+from intrinsicavatar_tpu.ops import volrend as V
+from intrinsicavatar_tpu.ops.grid_traversal import (
+    occupancy_sampling, intervals_to_samples,
+)
+from intrinsicavatar_tpu.ops.math import safe_normalize
+from intrinsicavatar_tpu.pbr.envlight import sample_uniform_sphere_stratified
+
+
+class VolumeInteractions(NamedTuple):
+    positions: jax.Array   # [R, B, 3] scattering points (SMPL space)
+    normals: jax.Array     # [R, B, 3] reused primary normals (SMPL space)
+    albedo: jax.Array      # [R, B, 3]
+    roughness: jax.Array   # [R, B, 1]
+    metallic: jax.Array    # [R, B, Cm]
+    weights: jax.Array     # [R, B] MC weights (fg: w/cnt, bg: trans/cnt)
+    is_bg: jax.Array       # [R, B]
+    valid: jax.Array       # [R] ray has any primary sample
+
+
+def sample_volume_interaction(model, rays_o, rays_d, t_starts, t_ends, smask,
+                              weights, sdf, normals, mats, trans_map, spp):
+    """Rectangular `sample_volume_interaction` (`models/pbr/utils.py:70-229`)."""
+    R, S = t_starts.shape
+    out = RS.cdf_resample_rays(t_starts, t_ends,
+                               jax.lax.stop_gradient(weights),
+                               jax.lax.stop_gradient(sdf), smask, spp)
+    idx = out.indices                                        # [R, B]
+    is_bg = out.is_bg
+    fg_cnt = jnp.take_along_axis(out.fg_counts, idx, axis=1)
+    w_src = jnp.take_along_axis(weights, idx, axis=1)
+    w_fg = w_src / jnp.maximum(fg_cnt.astype(w_src.dtype), 1.0)
+    w_bg = trans_map[:, None] / jnp.maximum(
+        out.bg_count[:, None].astype(w_src.dtype), 1.0)
+    w = jnp.where(is_bg, w_bg, w_fg)
+    valid = jnp.any(smask, axis=-1)
+    w = jnp.where(valid[:, None], w, 0.0)
+
+    gather = lambda a: jnp.take_along_axis(
+        a, idx[..., None] if a.ndim == 3 else idx, axis=1)
+    positions = rays_o[:, None, :] + rays_d[:, None, :] * out.ts[..., None]
+    return VolumeInteractions(
+        positions=positions,
+        normals=gather(normals),
+        albedo=gather(mats[..., :3]),
+        roughness=gather(mats[..., 3:4]),
+        metallic=gather(mats[..., 4:]),
+        weights=w,
+        is_bg=is_bg,
+        valid=valid,
+    )
+
+
+def compute_indirect_radiance(model, params, statics, frame, cond, sched,
+                              occ_binaries, occ_aabb, rays_o, rays_d, step,
+                              flags, active=None):
+    """Secondary-ray marcher (`models/intrinsic_avatar.py:396-545`).
+
+    Args:
+      rays_o/rays_d: ``[M, 3]`` flat secondary rays (SMPL space).
+      active: optional ``[M]`` mask — inactive rays still cost compute (the
+        layout is rectangular) but their queries are garbage-safe.
+    Returns ``(transmittance [M], rgb [M, 3])``.
+    """
+    M = rays_o.shape[0]
+    S = model.num_samples_per_secondary_ray
+    step_size = (model.secondary_far_plane - model.secondary_near_plane) \
+        / (S - 1)
+    near = jnp.full((M,), model.secondary_near_plane)
+    far = jnp.full((M,), model.secondary_far_plane)
+    iv = occupancy_sampling(rays_o, rays_d, occ_binaries, occ_aabb,
+                            step_size, S, near=near, far=far)
+    t_starts, t_ends, smask = intervals_to_samples(iv)
+    if active is not None:
+        smask = smask & active[:, None]
+
+    if model.secondary_importance_sample:
+        # coarse SDF at interval *starts* (`intrinsic_avatar.py:399-404`)
+        pos = (rays_o[:, None, :] + rays_d[:, None, :]
+               * t_starts[..., None]).reshape(-1, 3)
+        out = model._deform_query(params, statics, frame, cond, pos, sched,
+                                  with_grad=False, with_feature=False,
+                                  eval_mode=True, global_step=step)
+        sdf = jax.lax.stop_gradient(out[1]).reshape(t_starts.shape)
+        alphas = model.get_alpha(params, sdf, t_ends - t_starts, step)
+        alphas = jax.lax.stop_gradient(jnp.where(smask, alphas, 0.0))
+        if model.zero_crossing_search:
+            fine = RS.sdf_fine_resample_rays(t_starts, t_ends, alphas, sdf,
+                                             smask, 4)
+        else:
+            w, _ = V.render_weight_from_alpha(alphas, smask)
+            fine = RS.fine_resample_rays(t_starts, t_ends, w, smask, 4)
+        t_starts, t_ends, smask = fine.t_starts, fine.t_ends, fine.mask
+        t_starts = jnp.where(smask, t_starts, 0.0)
+        t_ends = jnp.where(smask, t_ends, 0.0)
+
+    # shading pass at midpoints
+    Sf = t_starts.shape[1]
+    mids = 0.5 * (t_starts + t_ends)
+    pos = (rays_o[:, None, :] + rays_d[:, None, :] * mids[..., None]
+           ).reshape(-1, 3)
+    out = model._deform_query(params, statics, frame, cond, pos, sched,
+                              with_grad=True, with_feature=True,
+                              eval_mode=True, global_step=step)
+    pos_cano, sdf, _, sdf_grad, _, feat = out[:6]
+    normal_world = model.deformer.rigid.transform_dirs_s2w(frame, sdf_grad)
+    dirs_world = model.deformer.rigid.transform_dirs_s2w(
+        frame, jnp.repeat(rays_d, Sf, axis=0))
+    rgbs, _ = model.radiance(params["radiance"], pos_cano, feat, dirs_world,
+                             normal_world, level_mask=sched["rad_mask"],
+                             sh_mask=sched["sh_mask"])
+    alphas = model.get_alpha(params, sdf, (t_ends - t_starts).reshape(-1),
+                             step).reshape(-1, Sf)
+    w, _ = V.render_weight_from_alpha(alphas, smask)
+    rgb_map = V.accumulate_along_rays(w, rgbs.reshape(-1, Sf, 3), smask)
+    acc = V.accumulate_along_rays(w, None, smask)[..., 0]
+    return 1.0 - acc, rgb_map
+
+
+def _shuffled_strata(key, R, spp):
+    """Per-ray random permutation of the spp strata (`:1393-1413`)."""
+    u = jax.random.uniform(key, (R, spp))
+    return jnp.argsort(u, axis=-1)
+
+
+def pbr_forward(model, params, statics, frame, cond, occ, sched,
+                rays_o, rays_d, t_starts, t_ends, smask, weights, trans,
+                sdf, mats, normals_smpl, rng, step, flags, background_color,
+                lvl, emitter_state=None):
+    """Assemble comp_rgb_phys / comp_demod_phys (+ visibility) maps."""
+    R, S = t_starts.shape
+    spp = model.samples_per_pixel
+    trans_map = 1.0 - V.accumulate_along_rays(weights, None, smask)[..., 0]
+
+    vi = sample_volume_interaction(
+        model, rays_o, rays_d, t_starts, t_ends, smask, weights, sdf,
+        normals_smpl, mats.reshape(R, S, -1), trans_map, spp)
+
+    k_dirs, k_scatter, k_ind = jax.random.split(rng, 3)
+    B = spp
+    flat = lambda a: a.reshape(R * B, *a.shape[2:])
+    n_i = flat(vi.normals)
+    wi = -jnp.repeat(rays_d, B, axis=0)
+    alb = flat(vi.albedo)
+    rough = flat(vi.roughness)[..., 0]
+    metal = flat(vi.metallic)
+    atten = jnp.zeros((R * B, 1))
+    pos_i = flat(vi.positions)
+    fg = ~flat(vi.is_bg)
+
+    emitter = model.emitter
+    scatterer = model.scatterer
+    sc_params = params.get("scatterer", {})
+    em_params = params["emitter"]
+    mode = flags.render_mode
+
+    def indirect(dirs, active):
+        tr, rgb = compute_indirect_radiance(
+            model, params, statics, frame, cond, sched,
+            occ.binaries[lvl], occ.aabbs[lvl], pos_i, dirs, step, flags,
+            active=active)
+        return (jax.lax.stop_gradient(jnp.clip(tr, 0.0, 1.0))[:, None],
+                jax.lax.stop_gradient(rgb))
+
+    def light_terms(dirs, active):
+        tr, ind_rgb = indirect(dirs, active)
+        em = emitter.eval(em_params,
+                          model.deformer.rigid.transform_dirs_s2w(frame, dirs))
+        em = jnp.where((active & (tr[:, 0] > 0.0))[:, None], em, 0.0)
+        if model.config.get("global_illumination", True):
+            Li = em * tr + ind_rgb
+        else:
+            Li = em * tr
+        return Li, tr
+
+    if mode == "uniform_light":
+        n1 = max(B // 32, 1)
+        n2 = B // n1
+        strata, inv_pdf = sample_uniform_sphere_stratified(k_dirs, n1, n2)
+        perm = _shuffled_strata(k_scatter, R, B)             # [R, B]
+        dirs = strata[perm].reshape(R * B, 3)
+        inv_pdf = inv_pdf[perm.reshape(-1), 0][:, None]
+        cos_ok = jnp.sum(n_i * dirs, -1) > 1e-6
+        active = fg & cos_ok
+        Li, tr = light_terms(dirs, active)
+        diff, spec = scatterer.eval(sc_params, n_i, wi, dirs, rough, rough,
+                                    alb, metal, atten)
+        diff = jnp.where(active[:, None], diff, 0.0)
+        spec = jnp.where(active[:, None], spec, 0.0)
+        Lo_diff = Li * diff * inv_pdf
+        Lo_spec = Li * spec * inv_pdf
+        vis = 2.0 * jnp.broadcast_to(tr, (R * B, 3)) * active[:, None]
+    elif mode == "light":
+        if emitter_state is None:
+            emitter_state = jax.lax.stop_gradient(
+                jax.tree.map(jax.lax.stop_gradient,
+                             emitter.update_pdf(em_params)))
+        dirs_world = emitter.sample(emitter_state, k_dirs, R * B)
+        dirs = model.deformer.rigid.transform_dirs_w2s(frame, dirs_world)
+        cos_ok = jnp.sum(n_i * dirs, -1) > 1e-6
+        active = fg & cos_ok
+        Li, tr = light_terms(dirs, active)
+        pdf = emitter.pdf(emitter_state,
+                          model.deformer.rigid.transform_dirs_s2w(frame, dirs))
+        pdf = jnp.where(pdf > 0, pdf, 1.0)
+        diff, spec = scatterer.eval(sc_params, n_i, wi, dirs, rough, rough,
+                                    alb, metal, atten)
+        diff = jnp.where(active[:, None], diff, 0.0)
+        spec = jnp.where(active[:, None], spec, 0.0)
+        Lo_diff = Li * diff / pdf
+        Lo_spec = Li * spec / pdf
+        vis = None
+    elif mode == "mats":
+        dirs = scatterer.sample(sc_params, k_dirs, n_i, wi, rough, rough,
+                                alb, metal, atten)
+        dirs = jax.lax.stop_gradient(safe_normalize(dirs))
+        active = fg
+        Li, tr = light_terms(dirs, active)
+        pdf = scatterer.pdf(sc_params, n_i, wi, dirs, rough, rough, alb,
+                            metal, atten)
+        pdf = jax.lax.stop_gradient(jnp.where(pdf > 0, pdf, 1.0))
+        diff, spec = scatterer.eval(sc_params, n_i, wi, dirs, rough, rough,
+                                    alb, metal, atten)
+        Lo_diff = Li * diff / pdf
+        Lo_spec = Li * spec / pdf
+        vis = None
+    elif mode == "mis":
+        if emitter_state is None:
+            emitter_state = jax.tree.map(jax.lax.stop_gradient,
+                                         emitter.update_pdf(em_params))
+        d_sc = jax.lax.stop_gradient(safe_normalize(scatterer.sample(
+            sc_params, k_dirs, n_i, wi, rough, rough, alb, metal, atten)))
+        d_li = model.deformer.rigid.transform_dirs_w2s(
+            frame, emitter.sample(emitter_state, k_scatter, R * B))
+        Lo_diff = 0.0
+        Lo_spec = 0.0
+        tr_acc = 0.0
+        for dirs in (d_sc, d_li):
+            active = fg
+            Li, tr = light_terms(dirs, active)
+            p_sc = scatterer.pdf(sc_params, n_i, wi, dirs, rough, rough,
+                                 alb, metal, atten)
+            p_li = emitter.pdf(
+                emitter_state,
+                model.deformer.rigid.transform_dirs_s2w(frame, dirs))
+            mis_w = jax.lax.stop_gradient(jnp.where(
+                p_sc + p_li > 1e-6, 1.0 / (p_sc + p_li), 0.0))
+            diff, spec = scatterer.eval(sc_params, n_i, wi, dirs, rough,
+                                        rough, alb, metal, atten)
+            Lo_diff = Lo_diff + Li * diff * mis_w
+            Lo_spec = Lo_spec + Li * spec * mis_w
+            tr_acc = tr_acc + tr
+        vis = None
+    else:
+        raise NotImplementedError(f"render_mode {mode!r}")
+
+    # kd/ks composition (`models/intrinsic_avatar.py:636-645`)
+    if metal.shape[-1] == 1:
+        kd = (1.0 - metal) * alb
+        ks = jnp.ones_like(kd)
+    else:
+        kd = alb
+        ks = metal
+    Lo_fg = kd * Lo_diff + ks * Lo_spec
+    Lo_demod_fg = Lo_diff + Lo_spec
+
+    if model.add_emitter:
+        bg_li = emitter.eval(
+            em_params,
+            model.deformer.rigid.transform_dirs_s2w(
+                frame, jnp.repeat(rays_d, B, axis=0)))
+    else:
+        bg_li = jnp.broadcast_to(background_color[None, :], (R * B, 3))
+    Lo = jnp.where(fg[:, None], Lo_fg, bg_li).reshape(R, B, 3)
+    Lo_demod = jnp.where(fg[:, None], Lo_demod_fg, bg_li).reshape(R, B, 3)
+
+    w = vi.weights
+    rgb_phys = V.accumulate_along_rays(w, Lo)
+    demod_phys = V.accumulate_along_rays(w, Lo_demod)
+    # rays with no samples at all show pure background / emitter
+    no_sample = ~vi.valid
+    if model.add_emitter:
+        ray_bg = emitter.eval(
+            em_params, model.deformer.rigid.transform_dirs_s2w(frame, rays_d))
+    else:
+        ray_bg = jnp.broadcast_to(background_color[None, :], (R, 3))
+    rgb_phys = jnp.where(no_sample[:, None], ray_bg, rgb_phys)
+    demod_phys = jnp.where(no_sample[:, None], ray_bg, demod_phys)
+
+    out = {"comp_rgb_phys": rgb_phys, "comp_demod_phys": demod_phys}
+    if vis is not None:
+        vis_map = V.accumulate_along_rays(w, vis.reshape(R, B, 3)).mean(
+            -1, keepdims=True)
+        out["visibility"] = vis_map
+    return out

@@ -1,0 +1,446 @@
+"""The composed volumetric renderer for articulated neural SDF avatars.
+
+TPU-native equivalent of ``IntrinsicAvatarModel``
+(`models/intrinsic_avatar.py:166-1701` in taconite/IntrinsicAvatar) plus the
+compositors of `models/volrend.py`.  The pipeline per batch of rays:
+
+  1. rays world -> SMPL (pelvis-aligned) space (detached w2s),
+  2. occupancy-grid marching into rectangular edge-list intervals,
+  3. two merge-importance-resampling rounds (+16 samples each) driven by
+     coarse SDF queries under stop_gradient,
+  4. shading pass at interval midpoints through the deformer ->
+     SDF/radiance/material fields,
+  5. masked transmittance compositing into rgb/normal/material/depth maps,
+  6. (``enable_phys``) Monte-Carlo volumetric path tracing of scattering
+     points with secondary rays — see ``render/pbr.py``.
+
+Everything is functional: parameters, deformer statics, per-frame state and
+occupancy-grid state are explicit inputs, so the whole step jits and shards.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intrinsicavatar_tpu.registry import make
+from intrinsicavatar_tpu.ops import volrend as V
+from intrinsicavatar_tpu.ops import resample as RS
+from intrinsicavatar_tpu.ops.grid_traversal import (
+    RayIntervals, occupancy_sampling, intervals_to_samples,
+)
+from intrinsicavatar_tpu.ops.math import safe_normalize, linear_to_srgb
+from intrinsicavatar_tpu.render.occupancy import OccGridState, level_of
+
+
+class RenderFlags(NamedTuple):
+    """Static (trace-time) switches; changing one triggers a recompile."""
+
+    training: bool = True
+    enable_phys: bool = False
+    importance_sample: bool = False
+    randomized: bool = True
+    with_curvature_loss: bool = True
+    jitter_materials: bool = True
+    render_mode: str = "uniform_light"
+
+
+class IntrinsicAvatar:
+    """Composition root.  Construct from a config tree (see
+    ``intrinsicavatar_tpu.utils.default_config``)."""
+
+    def __init__(self, config):
+        self.config = config
+        self.geometry = make(config.geometry.name, config.geometry)
+        self.density = make(config.density.name, config.density)
+        self.radiance = make(config.radiance.name, config.radiance)
+        self.material = make(config.material.name, config.material)
+        self.pose_encoder = make(config.pose_encoder.name, config.pose_encoder)
+        self.pose_correction = make(config.pose_correction.name,
+                                    config.pose_correction)
+        self.deformer = make(config.deformer.name, config.deformer)
+        self.scatterer = (make(config.scatterer.name, config.scatterer)
+                          if config.get("scatterer") else None)
+        self.emitter = (make(config.light.name, config.light)
+                        if config.get("light") else None)
+
+        self.scene_aabb = np.asarray(config.scene_aabb, np.float32)
+        diag = float(np.linalg.norm(self.scene_aabb[3:] - self.scene_aabb[:3]))
+        self.num_samples_per_ray = config.get("num_samples_per_ray", 128)
+        self.render_step_size = diag / self.num_samples_per_ray
+        self.samples_per_pixel = config.get("samples_per_pixel", 512)
+        self.num_samples_per_secondary_ray = config.get(
+            "num_samples_per_secondary_ray", 64)
+        self.secondary_near_plane = config.get("secondary_near_plane", 0.0)
+        self.secondary_far_plane = config.get("secondary_far_plane", 1.5)
+        self.secondary_importance_sample = config.get(
+            "secondary_importance_sample", True)
+        self.zero_crossing_search = config.get("zero_crossing_search", True)
+        self.add_emitter = config.get("add_emitter", False)
+        self.volume_scattering = config.get("volume_scattering", True)
+        self.material_feature = config.get("material_feature", "hybrid")
+        self.n_importance_rounds = config.get("n_importance_rounds", 2)
+        self.n_importance_samples = config.get("n_importance_samples", 16)
+        self.grid_prune_occ_thre = config.get("grid_prune_occ_thre", 0.001)
+
+    # ------------------------------------------------------------- setup
+
+    def init(self, key: jax.Array) -> dict:
+        ks = jax.random.split(key, 8)
+        params = {
+            "geometry": self.geometry.init(ks[0]),
+            "radiance": self.radiance.init(ks[1]),
+            "density": self.density.init(ks[2]),
+            "material": self.material.init(ks[3]),
+            "deformer": self.deformer.init(ks[4]),
+            "pose_encoder": self.pose_encoder.init(ks[5]),
+            "pose_correction": self.pose_correction.init(ks[6]),
+        }
+        if self.scatterer is not None:
+            params["scatterer"] = self.scatterer.init(ks[7])
+        if self.emitter is not None:
+            params["emitter"] = self.emitter.init(
+                jax.random.fold_in(ks[7], 1))
+        return params
+
+    def initialize(self, betas):
+        """Host-side once-per-sequence init; also sets field bboxes."""
+        statics = self.deformer.initialize(betas)
+        self.geometry.prepare_bbox(self.deformer.bbox)
+        self.radiance.prepare_bbox(self.deformer.bbox)
+        return statics
+
+    # ------------------------------------------------------------- frame
+
+    def prepare(self, params, statics, batch, global_step=0):
+        """Pose correction + SMPL forward + transform baking + pose cond."""
+        corr = self.pose_correction(params["pose_correction"], batch["index"],
+                                    global_step)
+        smpl_params = {
+            "betas": batch["betas"], "body_pose": batch["body_pose"],
+            "global_orient": batch["global_orient"], "transl": batch["transl"],
+            **corr,
+        }
+        frame = self.deformer.prepare(statics, smpl_params)
+        cond = self.pose_encoder(params["pose_encoder"], frame.rot_mats,
+                                 frame.joints[None])
+        return frame, cond
+
+    # ------------------------------------------------------------- fields
+
+    def _schedules(self, step):
+        return {
+            "geo_mask": self.geometry.level_mask(step),
+            "rad_mask": self.radiance.level_mask(step),
+            "sh_mask": self.radiance.sh_mask(step),
+        }
+
+    def _geometry_query(self, params, sched, x, with_grad, with_feature,
+                        with_laplace, rng=None):
+        geo = self.geometry
+        if not with_grad:
+            out = geo.features(params["geometry"], x, sched["geo_mask"])
+            return (out[..., 0],) if not with_feature else (out[..., 0], out)
+        if with_laplace:
+            sdf, grad, feat, lap = geo.sdf_grad_feature(
+                params["geometry"], x, sched["geo_mask"], with_laplace=True,
+                rng=rng)
+            return sdf, grad, feat, lap
+        sdf, grad, feat = geo.sdf_grad_feature(
+            params["geometry"], x, sched["geo_mask"])
+        return sdf, grad, feat
+
+    def _deform_query(self, params, statics, frame, cond, pts, sched,
+                      with_grad, with_feature, with_laplace=False,
+                      eval_mode=True, rng=None, global_step=0):
+        """Canonicalize + query geometry; returns the deformer output list."""
+
+        def geometry_fn(xc):
+            return self._geometry_query(params, sched, xc, with_grad,
+                                        with_feature, with_laplace, rng)
+
+        return self.deformer(
+            params["deformer"], statics, frame, pts, cond, geometry_fn,
+            with_jac=with_grad, eval_mode=eval_mode, global_step=global_step)
+
+    def get_alpha(self, params, sdf, dists, step):
+        beta = self.density.get_beta(params["density"], step)
+        return V.alpha_from_sdf(sdf, dists, beta)
+
+    def occ_eval_fn(self, params, statics, frame, cond, sched, step):
+        """alpha(x) evaluator for occupancy updates
+        (`models/intrinsic_avatar.py:243-254`)."""
+
+        def fn(x):
+            out = self._deform_query(params, statics, frame, cond, x, sched,
+                                     with_grad=False, with_feature=False,
+                                     eval_mode=True, global_step=step)
+            sdf = out[1]
+            return self.get_alpha(params, sdf, self.render_step_size, step)
+
+        return fn
+
+    # ------------------------------------------------------- importance
+
+    def _coarse_sdf_at_edges(self, params, statics, frame, cond, sched,
+                             rays_o, rays_d, iv: RayIntervals, step,
+                             prev_sdf=None, is_new=None):
+        """SDF at (new) edge values; invalid slots get 1e10
+        (`models/intrinsic_avatar.py:955-998` coarse_alpha_fn)."""
+        R, E = iv.vals.shape
+        t = jnp.where(iv.valid, iv.vals, 0.0)
+        pos = (rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+               ).reshape(-1, 3)
+        out = self._deform_query(params, statics, frame, cond, pos, sched,
+                                 with_grad=False, with_feature=False,
+                                 eval_mode=True, global_step=step)
+        sdf_new = jax.lax.stop_gradient(out[1]).reshape(R, E)
+        if prev_sdf is not None:
+            sdf = jnp.where(is_new, sdf_new, prev_sdf)
+        else:
+            sdf = sdf_new
+        return jnp.where(iv.valid, sdf, 1e10)
+
+    def _edge_alphas_min_sdf(self, params, iv: RayIntervals, sdf, step):
+        """Interval alpha from min(sdf_left, sdf_right), constant step dists."""
+        sdf_r = jnp.roll(sdf, -1, axis=-1)
+        valid_r = jnp.roll(iv.valid, -1, axis=-1).at[:, -1].set(False)
+        real = iv.is_left & jnp.roll(iv.is_right, -1, axis=-1) & iv.valid \
+            & valid_r
+        sdf_min = jnp.minimum(sdf, jnp.where(real, sdf_r, jnp.inf))
+        alphas = self.get_alpha(params, sdf_min, self.render_step_size, step)
+        return jnp.where(real, alphas, 0.0), real
+
+    def _midpoint_alphas(self, params, statics, frame, cond, sched,
+                         rays_o, rays_d, iv: RayIntervals, step):
+        """Round-2 alphas at interval midpoints with true interval lengths."""
+        t_starts, t_ends, mask = intervals_to_samples(iv)
+        mids = 0.5 * (t_starts + t_ends)
+        pos = (rays_o[:, None, :] + rays_d[:, None, :] * mids[..., None]
+               ).reshape(-1, 3)
+        out = self._deform_query(params, statics, frame, cond, pos, sched,
+                                 with_grad=False, with_feature=False,
+                                 eval_mode=True, global_step=step)
+        sdf = jax.lax.stop_gradient(out[1]).reshape(mids.shape)
+        alphas = self.get_alpha(params, sdf, t_ends - t_starts, step)
+        # re-align to edges: alpha of interval k lives at edge slot k
+        alphas = jnp.where(mask, alphas, 0.0)
+        return jnp.pad(alphas, ((0, 0), (0, 1)))
+
+    def _importance_resample(self, params, statics, frame, cond, sched,
+                             rays_o, rays_d, iv: RayIntervals, step):
+        """Two merge-resampling rounds (`models/intrinsic_avatar.py:1184-1238`)."""
+        n_new = self.n_importance_samples
+        # round 0: SDF at edges, min-sdf alphas, constant dists
+        sdf = self._coarse_sdf_at_edges(params, statics, frame, cond, sched,
+                                        rays_o, rays_d, iv, step)
+        alphas, _ = self._edge_alphas_min_sdf(params, iv, sdf, step)
+        alphas = jax.lax.stop_gradient(alphas)
+        weights, _ = V.render_weight_from_alpha(alphas, iv.valid)
+        merged = RS.merge_resample_rays(iv.vals, iv.is_left, iv.is_right,
+                                        iv.valid, weights, n_new)
+        iv = RayIntervals(vals=merged.vals, is_left=merged.is_left,
+                          is_right=merged.is_right, valid=merged.valid)
+
+        for _ in range(self.n_importance_rounds - 1):
+            alphas = jax.lax.stop_gradient(
+                self._midpoint_alphas(params, statics, frame, cond, sched,
+                                      rays_o, rays_d, iv, step))
+            weights, _ = V.render_weight_from_alpha(alphas, iv.valid)
+            merged = RS.merge_resample_rays(iv.vals, iv.is_left, iv.is_right,
+                                            iv.valid, weights, n_new)
+            iv = RayIntervals(vals=merged.vals, is_left=merged.is_left,
+                              is_right=merged.is_right, valid=merged.valid)
+        return iv
+
+    # ------------------------------------------------------------ forward
+
+    def forward(self, params, statics, frame, cond, occ: OccGridState,
+                rays_world, rng, step, flags: RenderFlags,
+                t_idx=0.0, background_color=None, emitter_state=None):
+        """Render a batch of rays.  Returns the output dict of Appendix B
+        (`models/intrinsic_avatar.py:1492-1666`): ``comp_rgb, comp_normal,
+        opacity, depth, rays_valid, ...`` plus ``*_bg`` / ``*_full`` and
+        training loss maps."""
+        sched = self._schedules(step)
+        rays = self.deformer.rigid.transform_rays_w2s(frame, rays_world) \
+            if hasattr(self.deformer, "rigid") else rays_world
+        R = rays.shape[0]
+        rays_o, rays_d = rays[:, :3], rays[:, 3:6]
+        near, far = rays[:, 6], rays[:, 7]
+        if background_color is None:
+            background_color = jnp.zeros(3)
+
+        k_strat, k_lap, k_jit, k_pbr = jax.random.split(rng, 4)
+        strat_u = (jax.random.uniform(k_strat, (R,))
+                   if flags.randomized else None)
+
+        lvl = level_of(occ, t_idx)
+        iv = occupancy_sampling(
+            rays_o, rays_d, occ.binaries[lvl], occ.aabbs[lvl],
+            self.render_step_size, self.num_samples_per_ray,
+            near=near, far=far, stratified_u=strat_u)
+
+        if flags.importance_sample:
+            iv = self._importance_resample(params, statics, frame, cond,
+                                           sched, rays_o, rays_d, iv, step)
+
+        t_starts, t_ends, smask = intervals_to_samples(iv)   # [R, S]
+        S = t_starts.shape[1]
+        mids = 0.5 * (t_starts + t_ends)
+        dists = t_ends - t_starts
+
+        # ------------------------------------------------ shading queries
+        pos = (rays_o[:, None, :] + rays_d[:, None, :] * mids[..., None]
+               ).reshape(-1, 3)
+        with_lap = flags.training and flags.with_curvature_loss
+        out = self._deform_query(
+            params, statics, frame, cond, pos, sched,
+            with_grad=True, with_feature=True, with_laplace=with_lap,
+            eval_mode=not flags.training, rng=k_lap, global_step=step)
+        pos_cano, sdf, valid, sdf_grad, sdf_grad_cano, feat = out[:6]
+        laplace = out[6] if with_lap else jnp.zeros_like(sdf)
+
+        normal_smpl = safe_normalize(sdf_grad)
+        normal_world = self.deformer.rigid.transform_dirs_s2w(frame, sdf_grad)
+        dirs_world = self.deformer.rigid.transform_dirs_s2w(
+            frame, jnp.repeat(rays_d, S, axis=0))
+
+        rgbs, rgb_feat = self.radiance(
+            params["radiance"], pos_cano, feat, dirs_world, normal_world,
+            level_mask=sched["rad_mask"], sh_mask=sched["sh_mask"])
+
+        alphas = self.get_alpha(params, sdf, dists.reshape(-1), step)
+        alphas = alphas.reshape(R, S)
+
+        mats = mats_jitter = None
+        if flags.enable_phys:
+            if self.material_feature == "geometry":
+                mat_feat = feat
+            elif self.material_feature == "radiance":
+                mat_feat = rgb_feat
+            else:
+                mat_feat = jnp.concatenate([rgb_feat, feat], axis=-1)
+            mats = self.material(params["material"], mat_feat)
+            if flags.training and flags.jitter_materials:
+                pos_j = pos_cano + jax.random.normal(k_jit, pos_cano.shape) \
+                    * 0.01
+                feat_j = self.geometry.features(
+                    params["geometry"], pos_j, sched["geo_mask"])
+                if self.material_feature == "geometry":
+                    mfj = feat_j
+                else:
+                    rgb_feat_j = self.radiance(
+                        params["radiance"], pos_j, feat_j, None,
+                        level_mask=sched["rad_mask"], feature_only=True)
+                    mfj = rgb_feat_j if self.material_feature == "radiance" \
+                        else jnp.concatenate([rgb_feat_j, feat_j], axis=-1)
+                mats_jitter = self.material(params["material"], mfj)
+            else:
+                mats_jitter = jnp.zeros_like(mats)
+
+        # ------------------------------------------------ composite
+        weights, trans = V.render_weight_from_alpha(alphas, smask)
+        rgb_map = V.accumulate_along_rays(weights, rgbs.reshape(R, S, 3), smask)
+        normal_map = V.accumulate_along_rays(
+            weights, normal_world.reshape(R, S, 3), smask)
+        acc_map = V.accumulate_along_rays(weights, None, smask)
+        depth_map = V.accumulate_along_rays(weights, mids[..., None], smask)
+        depth_map = depth_map + (1.0 - acc_map) * far[:, None]
+
+        out_dict = {
+            "comp_rgb": rgb_map,
+            "comp_normal": normal_map,
+            "opacity": acc_map,
+            "depth": depth_map,
+            "rays_valid": acc_map > 0,
+            "rays_valid_phys": (acc_map > 0) if flags.enable_phys
+            else jnp.zeros_like(acc_map, dtype=bool),
+            "num_samples": jnp.sum(smask.astype(jnp.int32)),
+            "beta": self.density.get_beta(params["density"], step),
+        }
+
+        if flags.enable_phys:
+            m = mats.reshape(R, S, -1)
+            albedo_map = V.accumulate_along_rays(weights, m[..., :3], smask)
+            roughness_map = V.accumulate_along_rays(weights, m[..., 3:4], smask)
+            metallic_map = V.accumulate_along_rays(weights, m[..., 4:], smask)
+            out_dict.update({
+                "comp_albedo": albedo_map,
+                "comp_roughness": roughness_map,
+                "comp_metallic": metallic_map,
+            })
+            from intrinsicavatar_tpu.render import pbr as pbr_mod
+            pbr_out = pbr_mod.pbr_forward(
+                self, params, statics, frame, cond, occ, sched,
+                rays_o, rays_d, t_starts, t_ends, smask, weights, trans,
+                sdf.reshape(R, S), mats, normal_smpl.reshape(R, S, 3),
+                k_pbr, step, flags, background_color, lvl,
+                emitter_state=emitter_state)
+            out_dict.update(pbr_out)
+
+        if flags.training:
+            out_dict.update({
+                "sdf_samples": sdf,
+                "sdf_grad_samples": sdf_grad,
+                "sdf_laplace_samples": laplace,
+                "weights": weights,
+                "points": mids,
+                "intervals": dists,
+                "sample_mask": smask,
+                "sample_valid": valid.reshape(R, S),
+            })
+            if flags.enable_phys:
+                nrm = normal_smpl.reshape(R, S, 3)
+                orient = jnp.clip(jnp.sum(
+                    rays_d[:, None, :] * nrm, -1, keepdims=True), 0.0)
+
+                def smooth_loss(v, vj):
+                    base = jnp.clip(jnp.maximum(v, vj), 1e-6)
+                    return jnp.sum(((v - vj) / base) ** 2, -1, keepdims=True)
+
+                mj = mats_jitter.reshape(R, S, -1)
+                m = mats.reshape(R, S, -1)
+                out_dict.update({
+                    "normals_orientation_loss_map": V.accumulate_along_rays(
+                        weights, orient, smask),
+                    "albedo_smoothness_loss_map": V.accumulate_along_rays(
+                        weights, smooth_loss(m[..., :3], mj[..., :3]), smask),
+                    "roughness_smoothness_loss_map": V.accumulate_along_rays(
+                        weights, smooth_loss(m[..., 3:4], mj[..., 3:4]), smask),
+                    "metallic_smoothness_loss_map": V.accumulate_along_rays(
+                        weights, smooth_loss(m[..., 4:], mj[..., 4:]), smask),
+                })
+            else:
+                z = jnp.zeros_like(acc_map)
+                out_dict.update({
+                    "normals_orientation_loss_map": z,
+                    "albedo_smoothness_loss_map": z,
+                    "roughness_smoothness_loss_map": z,
+                    "metallic_smoothness_loss_map": z,
+                })
+
+        # --------------------------------------------- bg + full composite
+        bg_rgb = jnp.broadcast_to(background_color[None, :], rgb_map.shape)
+        out_dict["comp_rgb_bg"] = bg_rgb
+        out_dict["comp_rgb_full"] = jnp.clip(
+            linear_to_srgb(rgb_map + bg_rgb * (1.0 - acc_map)), 0.0, 1.0)
+        if flags.enable_phys:
+            out_dict["comp_rgb_phys_full"] = jnp.clip(
+                linear_to_srgb(out_dict["comp_rgb_phys"]), 0.0, 1.0)
+            out_dict["comp_demod_phys_full"] = jnp.clip(
+                linear_to_srgb(out_dict["comp_demod_phys"]), 0.0, 1.0)
+            bg_scalar = jnp.mean(background_color)
+            out_dict["comp_albedo_full"] = (
+                out_dict["comp_albedo"])
+            out_dict["comp_metallic_full"] = (
+                out_dict["comp_metallic"]
+                + bg_scalar * (1.0 - acc_map))
+            out_dict["comp_roughness_full"] = (
+                out_dict["comp_roughness"]
+                + bg_scalar * (1.0 - acc_map))
+            out_dict["rays_valid_phys_full"] = out_dict["rays_valid_phys"]
+        return out_dict

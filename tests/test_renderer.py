@@ -1,0 +1,126 @@
+"""End-to-end renderer tests on the tiny config + synthetic body."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from intrinsicavatar_tpu.render.renderer import IntrinsicAvatar, RenderFlags
+from intrinsicavatar_tpu.render.occupancy import make_occ_grid
+from intrinsicavatar_tpu.utils.default_config import tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model = IntrinsicAvatar(cfg.model)
+    statics = model.initialize(np.zeros(10))
+    params = model.init(jax.random.PRNGKey(0))
+    batch = {
+        "index": jnp.asarray([0]),
+        "betas": jnp.zeros(10),
+        "body_pose": jnp.zeros(69),
+        "global_orient": jnp.zeros(3),
+        "transl": jnp.asarray([0.0, 0.3, 2.0]),
+    }
+    frame, cond = model.prepare(params, statics, batch, global_step=0)
+    occ = make_occ_grid(np.asarray(cfg.model.scene_aabb)[None],
+                        resolution=cfg.model.occ_resolution)
+    # camera at world origin; body sits at transl=(0, 0.3, 2)
+    R = 8
+    rng = np.random.default_rng(1)
+    target = np.array([0.0, 0.3, 2.0]) + rng.normal(scale=0.15, size=(R, 3))
+    rays_o = np.zeros((R, 3), np.float32)
+    rays_d = target / np.linalg.norm(target, axis=-1, keepdims=True)
+    near = np.full((R, 1), 1.0, np.float32)
+    far = np.full((R, 1), 3.0, np.float32)
+    rays = jnp.asarray(np.concatenate(
+        [rays_o, rays_d.astype(np.float32), near, far], -1))
+    return dict(cfg=cfg, model=model, statics=statics, params=params,
+                frame=frame, cond=cond, occ=occ, rays=rays)
+
+
+def test_radiance_forward_shapes_and_hits(setup):
+    m = setup["model"]
+    flags = RenderFlags(training=True, enable_phys=False,
+                        importance_sample=False, randomized=True)
+    out = m.forward(setup["params"], setup["statics"], setup["frame"],
+                    setup["cond"], setup["occ"], setup["rays"],
+                    jax.random.PRNGKey(2), 0, flags,
+                    background_color=jnp.zeros(3))
+    R = setup["rays"].shape[0]
+    assert out["comp_rgb"].shape == (R, 3)
+    assert out["comp_normal"].shape == (R, 3)
+    assert out["opacity"].shape == (R, 1)
+    assert out["depth"].shape == (R, 1)
+    for k in ("comp_rgb", "opacity", "depth", "comp_rgb_full",
+              "sdf_samples", "sdf_grad_samples", "weights"):
+        assert np.all(np.isfinite(np.asarray(out[k]))), f"{k} not finite"
+    # rays point at the body: geometry starts as a sphere, so some opacity
+    assert float(out["opacity"].max()) > 0.5
+    # depth of hit rays is near the body distance (~2)
+    hit = np.asarray(out["opacity"][:, 0]) > 0.5
+    d = np.asarray(out["depth"][:, 0])[hit]
+    assert np.all((d > 1.0) & (d < 3.0))
+
+
+def test_radiance_forward_importance(setup):
+    m = setup["model"]
+    flags = RenderFlags(training=True, enable_phys=False,
+                        importance_sample=True, randomized=True)
+    out = m.forward(setup["params"], setup["statics"], setup["frame"],
+                    setup["cond"], setup["occ"], setup["rays"],
+                    jax.random.PRNGKey(2), 2000, flags,
+                    background_color=jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(out["comp_rgb"])))
+    assert float(out["opacity"].max()) > 0.5
+
+
+def test_phys_forward(setup):
+    m = setup["model"]
+    flags = RenderFlags(training=True, enable_phys=True,
+                        importance_sample=True, randomized=True,
+                        render_mode="uniform_light")
+    out = m.forward(setup["params"], setup["statics"], setup["frame"],
+                    setup["cond"], setup["occ"], setup["rays"],
+                    jax.random.PRNGKey(3), 11000, flags,
+                    background_color=jnp.zeros(3))
+    R = setup["rays"].shape[0]
+    for k in ("comp_rgb_phys", "comp_demod_phys", "comp_albedo",
+              "comp_roughness", "comp_metallic", "visibility",
+              "albedo_smoothness_loss_map"):
+        assert k in out, k
+        assert np.all(np.isfinite(np.asarray(out[k]))), f"{k} not finite"
+    assert out["comp_rgb_phys"].shape == (R, 3)
+    assert float(out["comp_rgb_phys"].max()) > 0.0
+
+
+def test_phys_grad_flows(setup):
+    m = setup["model"]
+    flags = RenderFlags(training=True, enable_phys=True,
+                        importance_sample=False, randomized=False,
+                        render_mode="uniform_light", jitter_materials=False,
+                        with_curvature_loss=False)
+
+    def loss_fn(params):
+        out = m.forward(params, setup["statics"], setup["frame"],
+                        setup["cond"], setup["occ"], setup["rays"],
+                        jax.random.PRNGKey(3), 11000, flags,
+                        background_color=jnp.zeros(3))
+        return (jnp.mean(out["comp_rgb_phys"]) + jnp.mean(out["comp_rgb"]))
+
+    g = jax.grad(loss_fn)(setup["params"])
+    # Note: the geometry hash TABLE has exactly zero grad at init because
+    # sphere init zeroes first-layer weights on encoding inputs
+    # (reference network_utils.py:229); check the MLP instead.
+    leaves = {
+        "geometry": g["geometry"]["mlp"][0]["v"],
+        "radiance": g["radiance"]["table"],
+        "material": g["material"]["mlp"][0]["w"],
+        "emitter": jax.tree.leaves(g["emitter"])[0],
+        "density": g["density"]["beta"],
+    }
+    for name, leaf in leaves.items():
+        s = float(jnp.sum(jnp.abs(leaf)))
+        assert np.isfinite(s), f"{name} grad not finite"
+        assert s > 0, f"{name} got zero grad"
