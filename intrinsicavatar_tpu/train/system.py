@@ -1,0 +1,332 @@
+"""The training system: loss assembly, jitted train step, occupancy cadence.
+
+Equivalent of ``IntrinsicAvatarSystem`` (`systems/intrinsic_avatar.py:19-301`
++ `systems/base.py` in taconite/IntrinsicAvatar) without Lightning: a
+functional :class:`TrainState`, a jit-compiled :func:`train_step` (one per
+static flag combination — the phys/importance kick-ins recompile once each),
+the occupancy-grid EMA update every ``n=20`` steps, and the per-frame grid
+re-init at the milestone steps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intrinsicavatar_tpu.ops.math import (
+    linear_to_srgb, luma, max_value, gaussian_histogram,
+)
+from intrinsicavatar_tpu.render.renderer import IntrinsicAvatar, RenderFlags
+from intrinsicavatar_tpu.render.occupancy import (
+    OccGridState, make_occ_grid, update_occ_grid, level_of,
+    compute_test_occ_grid,
+)
+from intrinsicavatar_tpu.train.schedules import C, C_static
+from intrinsicavatar_tpu.train.optim import make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    occ: OccGridState
+    step: jax.Array
+    rng: jax.Array
+
+
+def _masked_mean(x, mask):
+    """Mean of x over rows selected by mask (matching ``x[mask].mean()``)."""
+    if x.ndim > mask.ndim:
+        mask = mask[..., None]
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m * jnp.ones_like(x)), 1.0)
+
+
+def binary_cross_entropy(pred, target):
+    """Numerically-stable BCE (`systems/criterions.py:229`)."""
+    return -jnp.mean(target * jnp.log(pred) + (1.0 - target)
+                     * jnp.log(1.0 - pred))
+
+
+class IntrinsicAvatarSystem:
+    """Owns the model, optimizer and loss assembly."""
+
+    def __init__(self, config):
+        self.config = config
+        self.model = IntrinsicAvatar(config.model)
+        self.loss_cfg = config.system.loss
+        self.reinit_occ_steps = list(
+            config.system.get("reinit_occupancy_grid_steps", [8000]))
+        self.occ_update_every = config.system.get("occ_update_every", 20)
+        self.statics = None
+        self.tx = None
+
+    # ------------------------------------------------------------ setup
+
+    def setup(self, betas, key, n_frames: int = 1):
+        self.statics = self.model.initialize(betas)
+        params = self.model.init(key)
+        self.tx = make_optimizer(
+            params, self.config.system.optimizer,
+            self.config.system.get("scheduler", {}),
+            self.config.system.get("warmup_steps", 1000))
+        opt_state = self.tx.init(params)
+        occ = make_occ_grid(
+            np.asarray(self.config.model.scene_aabb, np.float32)[None],
+            resolution=self.config.model.get("occ_resolution", 64))
+        return TrainState(params=params, opt_state=opt_state, occ=occ,
+                          step=jnp.zeros((), jnp.int32),
+                          rng=jax.random.fold_in(key, 1))
+
+    # ------------------------------------------------------------ flags
+
+    def flags_for_step(self, step: int, training=True) -> RenderFlags:
+        mcfg = self.config.model
+        return RenderFlags(
+            training=training,
+            enable_phys=step >= mcfg.get("phys_kick_in_step", 10000),
+            importance_sample=step > mcfg.get(
+                "importance_sample_kick_in_step", 1000),
+            randomized=training and mcfg.get("randomized", True),
+            with_curvature_loss=C_static(
+                self.loss_cfg.lambda_curvature, step) > 0,
+            jitter_materials=C_static(
+                self.loss_cfg.lambda_albedo_smoothness, step) > 0,
+            render_mode=mcfg.get("render_mode", "uniform_light"),
+        )
+
+    # ------------------------------------------------------------ losses
+
+    def compute_losses(self, params, out, batch, step, flags: RenderFlags):
+        """Mirror of `systems/intrinsic_avatar.py:160-301` (masked,
+        rectangular)."""
+        L = self.loss_cfg
+        losses = {}
+        loss = 0.0
+        valid = out["rays_valid"][..., 0]
+        pbr_only = self.config.system.get("pbr_loss_only", False) \
+            and flags.enable_phys
+
+        if not pbr_only:
+            diff = out["comp_rgb_full"] - batch["rgb"]
+            losses["rgb_mse"] = _masked_mean(diff**2, valid)
+            losses["rgb_l1"] = _masked_mean(jnp.abs(diff), valid)
+            loss += losses["rgb_mse"] * C(L.lambda_rgb_mse, step)
+            loss += losses["rgb_l1"] * C(L.lambda_rgb_l1, step)
+
+        if flags.enable_phys and self.config.model.get("learn_material", True):
+            vphys = out["rays_valid_phys_full"][..., 0]
+            target = batch.get("rgb_wo_mask", batch["rgb"]) \
+                if self.model.add_emitter else batch["rgb"]
+            dphys = out["comp_rgb_phys_full"] - target
+            if self.model.add_emitter:
+                losses["rgb_phys_mse"] = jnp.mean(dphys**2)
+                losses["rgb_phys_l1"] = jnp.mean(jnp.abs(dphys))
+            else:
+                losses["rgb_phys_mse"] = _masked_mean(dphys**2, vphys)
+                losses["rgb_phys_l1"] = _masked_mean(jnp.abs(dphys), vphys)
+            loss += losses["rgb_phys_mse"] * C(L.lambda_rgb_phys_mse, step)
+            loss += losses["rgb_phys_l1"] * C(L.lambda_rgb_phys_l1, step)
+
+            demod = jnp.abs(luma(out["comp_demod_phys_full"])
+                            - max_value(batch["rgb"]))
+            losses["rgb_demodulated"] = _masked_mean(demod, vphys)
+            loss += losses["rgb_demodulated"] * C(
+                L.lambda_rgb_demodulated, step)
+
+            if C_static(L.lambda_albedo, step) > 0 and "albedo" in batch:
+                la = jnp.abs(out["comp_albedo_full"] - batch["albedo"])
+                losses["albedo"] = _masked_mean(la, vphys)
+                loss += losses["albedo"] * C(L.lambda_albedo, step)
+
+        # Eikonal over all marching samples (deformer-invalid samples carry
+        # the default unit gradient and contribute 0, as in the reference)
+        smask = out["sample_mask"]
+        grad_norm = jnp.linalg.norm(
+            out["sdf_grad_samples"].reshape(*smask.shape, 3), axis=-1)
+        losses["eikonal"] = _masked_mean((grad_norm - 1.0) ** 2, smask)
+        loss += losses["eikonal"] * C(L.lambda_eikonal, step)
+
+        opacity = jnp.clip(out["opacity"][..., 0], 1e-3, 1.0 - 1e-3)
+        if "alpha" in batch:
+            alpha = batch["alpha"].astype(opacity.dtype)
+            losses["mask_mse"] = jnp.mean((opacity - alpha) ** 2)
+            losses["mask_bce"] = binary_cross_entropy(opacity, alpha)
+            loss += losses["mask_mse"] * C(L.lambda_mask_mse, step)
+            loss += losses["mask_bce"] * C(L.lambda_mask_bce, step)
+
+        losses["opaque"] = binary_cross_entropy(opacity, opacity)
+        loss += losses["opaque"] * C(L.lambda_opaque, step)
+
+        sdf = out["sdf_samples"].reshape(smask.shape)
+        losses["sparsity"] = _masked_mean(
+            jnp.exp(-L.get("sparsity_scale", 1.0) * jnp.abs(sdf)), smask)
+        loss += losses["sparsity"] * C(L.lambda_sparsity, step)
+
+        if flags.with_curvature_loss:
+            lap = jnp.abs(out["sdf_laplace_samples"]).reshape(smask.shape)
+            losses["curvature"] = _masked_mean(lap, smask)
+            loss += losses["curvature"] * C(L.lambda_curvature, step)
+
+        # model regularizations (`models/*/regularizations`)
+        losses["lipshitz_bound"] = self.model.material.lipschitz_bound(
+            params["material"])
+        loss += losses["lipshitz_bound"] * C(L.lambda_lipshitz_bound, step)
+
+        if flags.enable_phys:
+            losses["normal_orientation"] = jnp.mean(
+                out["normals_orientation_loss_map"])
+            losses["albedo_smoothness"] = jnp.mean(
+                out["albedo_smoothness_loss_map"])
+            losses["roughness_smoothness"] = jnp.mean(
+                out["roughness_smoothness_loss_map"])
+            losses["metallic_smoothness"] = jnp.mean(
+                out["metallic_smoothness_loss_map"])
+            loss += losses["normal_orientation"] * C(
+                L.lambda_normal_orientation, step)
+            loss += losses["albedo_smoothness"] * C(
+                L.lambda_albedo_smoothness, step)
+            loss += losses["roughness_smoothness"] * C(
+                L.lambda_roughness_smoothness, step)
+            loss += losses["metallic_smoothness"] * C(
+                L.lambda_metallic_smoothness, step)
+
+            if C_static(L.lambda_albedo_entropy, step) > 0:
+                vphys = out["rays_valid_phys_full"][..., 0]
+                alb = jnp.log(out["comp_albedo_full"] + 1e-6)
+                ent = 0.0
+                for i in range(3):
+                    ch = jnp.where(vphys, alb[..., i], 0.0)
+                    mean = jnp.sum(ch) / jnp.maximum(jnp.sum(vphys), 1)
+                    var = jnp.sum(jnp.where(vphys, (alb[..., i] - mean) ** 2,
+                                            0.0)) / jnp.maximum(
+                        jnp.sum(vphys), 1)
+                    h = gaussian_histogram(ch, 15, 0.0, 1.0,
+                                           jnp.maximum(var, 1e-4))
+                    h = h / jnp.maximum(h.sum(), 1e-6) + 1e-6
+                    ent += jnp.sum(-h * jnp.log(h))
+                losses["albedo_entropy"] = ent
+                loss += ent * C(L.lambda_albedo_entropy, step)
+
+            if out["comp_metallic_full"].shape[-1] == 3:
+                vphys = out["rays_valid_phys_full"][..., 0]
+                from intrinsicavatar_tpu.ops.math import luminance
+                ec = jax.nn.relu(
+                    luminance(out["comp_albedo_full"])
+                    + luminance(out["comp_metallic_full"]) - 1.0)
+                losses["energy_conservation"] = _masked_mean(ec, vphys)
+                loss += losses["energy_conservation"] * C(
+                    L.lambda_energy_conservation, step)
+
+        losses["total"] = loss
+        return loss, losses
+
+    # ------------------------------------------------------------ steps
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def train_step(self, state: TrainState, batch, t_idx,
+                   flags: RenderFlags):
+        """One optimization step (pure).  ``batch`` carries rays + SMPL
+        params + targets; ``flags`` is static."""
+        rng, k_bg, k_fwd = jax.random.split(state.rng, 3)
+        step = state.step
+
+        bg_mode = self.config.model.get("background_color", "random")
+        if bg_mode == "white":
+            bg = jnp.ones(3)
+        elif bg_mode == "black":
+            bg = jnp.zeros(3)
+        else:
+            bg = jax.random.uniform(k_bg, (3,))
+
+        # composite gt rgb over the background (`systems/intrinsic_avatar.py:138-144`)
+        fg = batch["alpha"][..., None]
+        rgb = batch["rgb"] * fg + linear_to_srgb(bg)[None, :] * (1.0 - fg)
+        batch = {**batch, "rgb_wo_mask": batch["rgb"], "rgb": rgb}
+
+        def loss_fn(params):
+            frame, cond = self.model.prepare(params, self.statics, batch,
+                                             step)
+            out = self.model.forward(
+                params, self.statics, frame, cond, state.occ, batch["rays"],
+                k_fwd, step, flags, t_idx=t_idx, background_color=bg)
+            loss, losses = self.compute_losses(params, out, batch, step,
+                                               flags)
+            return loss, (losses, out)
+
+        (loss, (losses, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               occ=state.occ, step=step + 1, rng=rng)
+        return new_state, losses
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def occ_update_step(self, state: TrainState, batch, t_idx):
+        """EMA occupancy update on the current frame's level
+        (`models/intrinsic_avatar.py:256-264`, every n=20 steps)."""
+        rng, k_occ = jax.random.split(state.rng)
+        frame, cond = self.model.prepare(state.params, self.statics, batch,
+                                         state.step)
+        sched = self.model._schedules(state.step)
+        fn = self.model.occ_eval_fn(state.params, self.statics, frame, cond,
+                                    sched, state.step)
+        occ = update_occ_grid(
+            state.occ, level_of(state.occ, t_idx), fn, k_occ,
+            occ_thre=self.config.model.get("grid_prune_occ_thre", 0.001),
+            ema_decay=self.config.model.get("grid_prune_ema_decay", 0.8))
+        return state._replace(occ=occ, rng=rng)
+
+    def reinit_occupancy_grid(self, state: TrainState, batches):
+        """Re-create the grid with one level per frame in deformed space
+        (`systems/intrinsic_avatar.py:46-79`, milestone step 8000)."""
+        res = self.config.model.get("occ_resolution", 64)
+        binaries, aabbs = [], []
+        rng = state.rng
+        for batch in batches:
+            rng, k = jax.random.split(rng)
+            frame, cond = self.model.prepare(state.params, self.statics,
+                                             batch, state.step)
+            sched = self.model._schedules(state.step)
+            aabb = self.model.deformer.rigid.get_bbox_deformed(frame)
+            aabb = jnp.concatenate([aabb[0], aabb[1]])
+            fn = self.model.occ_eval_fn(state.params, self.statics, frame,
+                                        cond, sched, state.step)
+            binaries.append(compute_test_occ_grid(
+                fn, aabb, k, resolution=res,
+                occ_thre=self.config.model.get("grid_prune_occ_thre", 0.001)))
+            aabbs.append(aabb)
+        occ = OccGridState(
+            occs=jnp.zeros((len(batches), res**3)),
+            binaries=jnp.stack(binaries),
+            aabbs=jnp.stack(aabbs),
+        )
+        return state._replace(occ=occ, rng=rng)
+
+    # ------------------------------------------------------------ loop
+
+    def fit(self, data_iter, state: TrainState, max_steps: int,
+            log_every: int = 100, callback=None, all_frames_fn=None):
+        """The training loop (replaces Lightning's trainer.fit).
+
+        ``all_frames_fn()`` returns one pose batch per training frame; it is
+        invoked at the occupancy-grid re-init milestones.
+        """
+        history = []
+        for step in range(int(state.step), max_steps):
+            batch, t_idx = next(data_iter)
+            if step in self.reinit_occ_steps and all_frames_fn is not None:
+                state = self.reinit_occupancy_grid(state, all_frames_fn())
+            if step % self.occ_update_every == 0:
+                state = self.occ_update_step(state, batch, t_idx)
+            flags = self.flags_for_step(step)
+            state, losses = self.train_step(state, batch, t_idx, flags)
+            if callback is not None and step % log_every == 0:
+                callback(step, jax.device_get(losses))
+            history.append(losses)
+        return state, history

@@ -1,0 +1,97 @@
+"""End-to-end training smoke test on synthetic data (tiny config, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from intrinsicavatar_tpu.train.system import IntrinsicAvatarSystem, TrainState
+from intrinsicavatar_tpu.train.schedules import C, C_static, lr_schedule
+from intrinsicavatar_tpu.utils.default_config import tiny_config
+
+
+def test_schedules():
+    # constant
+    assert float(C(0.1, 0)) == pytest.approx(0.1)
+    # step function [v0, v1, end]
+    assert float(C([1.5, 0.0, 100], 50)) == 1.5
+    assert float(C([1.5, 0.0, 100], 100)) == 0.0
+    # gated ramp [start, v0, v1, end]
+    assert float(C([100, 1.0, 0.0, 200], 50)) == 0.0
+    assert float(C([100, 1.0, 0.0, 200], 150)) == pytest.approx(0.5)
+    assert C_static([100, 1.0, 0.0, 200], 150) == pytest.approx(0.5)
+    # lr: warmup then multistep
+    assert float(lr_schedule(0, 1e-3, 1000, 0.01)) == pytest.approx(1e-5)
+    assert float(lr_schedule(1000, 1e-3)) == pytest.approx(1e-3)
+    assert float(lr_schedule(13000, 1e-3)) == pytest.approx(3e-4)
+    assert float(lr_schedule(24000, 1e-3)) == pytest.approx(1e-3 * 0.3**4)
+
+
+def make_batch(R=16, rng=None):
+    rng = rng or np.random.default_rng(0)
+    target = np.array([0.0, 0.3, 2.0]) + rng.normal(scale=0.12, size=(R, 3))
+    rays_o = np.zeros((R, 3), np.float32)
+    rays_d = (target / np.linalg.norm(target, axis=-1, keepdims=True)
+              ).astype(np.float32)
+    near = np.full((R,), 1.0, np.float32)
+    far = np.full((R,), 3.0, np.float32)
+    rays = np.concatenate([rays_o, rays_d, near[:, None], far[:, None]], -1)
+    return {
+        "rays": jnp.asarray(rays),
+        "rgb": jnp.full((R, 3), 0.6),
+        "alpha": jnp.ones((R,)),
+        "index": jnp.asarray([0]),
+        "betas": jnp.zeros(10),
+        "body_pose": jnp.zeros(69),
+        "global_orient": jnp.zeros(3),
+        "transl": jnp.asarray([0.0, 0.3, 2.0]),
+    }
+
+
+@pytest.fixture(scope="module")
+def system_state():
+    cfg = tiny_config()
+    cfg.trainer.max_steps = 40
+    sys = IntrinsicAvatarSystem(cfg)
+    state = sys.setup(np.zeros(10), jax.random.PRNGKey(0))
+    return sys, state
+
+
+def test_train_step_runs_and_descends(system_state):
+    sys, state = system_state
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng=rng)
+
+    def data_iter():
+        while True:
+            yield batch, 0.0
+
+    state, hist = sys.fit(data_iter(), state, max_steps=25, log_every=1000)
+    first = float(hist[0]["rgb_l1"])
+    last = float(hist[-1]["rgb_l1"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, f"rgb_l1 did not decrease: {first} -> {last}"
+    # params stay finite
+    leaves = jax.tree.leaves(state.params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert int(state.step) == 25
+
+
+def test_occ_update_shrinks_grid(system_state):
+    sys, state = system_state
+    batch = make_batch()
+    occ0 = int(np.asarray(state.occ.binaries).sum())
+    # advance state far enough that the SDF is meaningful, then occ update
+    st = state._replace(step=jnp.asarray(100, jnp.int32))
+    st = sys.occ_update_step(st, batch, 0.0)
+    occ1 = int(np.asarray(st.occ.binaries).sum())
+    assert occ1 < occ0, "occupancy update should prune empty space"
+    assert occ1 > 0, "body region must stay occupied"
+
+
+def test_reinit_occupancy_grid(system_state):
+    sys, state = system_state
+    batch = make_batch()
+    st = sys.reinit_occupancy_grid(state, [batch, batch])
+    assert st.occ.binaries.shape[0] == 2
+    assert int(np.asarray(st.occ.binaries).sum()) > 0
