@@ -1,0 +1,67 @@
+"""Masked point-query compaction.
+
+The rectangular ``[n_rays, S]``+mask layout wastes field queries on invalid
+slots (empty space, truncated budgets).  The reference avoids this with
+ragged packed tensors (nerfacc ``pack_info``/CUDA); the TPU-native
+equivalent is *static-budget compaction*: gather the valid entries (valid
+first, stable order) into a fixed-size buffer of ``K`` slots, run the
+expensive function there, and scatter results back, filling untouched slots
+with neutral values.
+
+Overflow policy: if more than ``K`` entries are valid, the excess entries
+keep their fill values (for SDF queries the fill is "far outside", which
+only makes the renderer conservative).  Budgets are chosen so overflow is
+rare; callers can log ``n_valid`` to tune them.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def compact_indices(mask: jax.Array, budget: int):
+    """Indices of up to ``budget`` valid entries (valid-first stable order).
+
+    Returns ``(idx [budget], picked_valid [budget])``.
+    """
+    order = jnp.argsort(~mask, stable=True)
+    idx = order[:budget]
+    return idx, mask[idx]
+
+
+def compact_apply(
+    fn: Callable,
+    points: jax.Array,
+    mask: jax.Array,
+    budget: int,
+    fills: Sequence,
+):
+    """Apply ``fn`` to the compacted valid subset of ``points``.
+
+    Args:
+      fn: maps ``[K, 3] -> tuple of [K, ...]`` arrays.
+      points: ``[M, 3]``.
+      mask: ``[M]`` bool.
+      budget: static K <= M.
+      fills: per-output fill value (scalar or [...]-shaped) for slots that
+        are invalid / not evaluated.
+
+    Returns a tuple of ``[M, ...]`` arrays.
+    """
+    M = points.shape[0]
+    idx, picked = compact_indices(mask, budget)
+    out = fn(points[idx])
+    if not isinstance(out, (tuple, list)):
+        out = (out,)
+    results = []
+    for o, fill in zip(out, fills):
+        fill_arr = jnp.broadcast_to(jnp.asarray(fill, o.dtype),
+                                    (M, *o.shape[1:]))
+        o = jnp.where(
+            picked.reshape(-1, *([1] * (o.ndim - 1))), o,
+            jnp.broadcast_to(jnp.asarray(fill, o.dtype), o.shape))
+        results.append(fill_arr.at[idx].set(o))
+    return tuple(results)

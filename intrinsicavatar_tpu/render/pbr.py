@@ -112,7 +112,8 @@ def compute_indirect_radiance(model, params, statics, frame, cond, sched,
                * t_starts[..., None]).reshape(-1, 3)
         out = model._deform_query(params, statics, frame, cond, pos, sched,
                                   with_grad=False, with_feature=False,
-                                  eval_mode=True, global_step=step)
+                                  eval_mode=True, global_step=step,
+                                  mask=smask.reshape(-1))
         sdf = jax.lax.stop_gradient(out[1]).reshape(t_starts.shape)
         alphas = model.get_alpha(params, sdf, t_ends - t_starts, step)
         alphas = jax.lax.stop_gradient(jnp.where(smask, alphas, 0.0))
@@ -133,7 +134,8 @@ def compute_indirect_radiance(model, params, statics, frame, cond, sched,
            ).reshape(-1, 3)
     out = model._deform_query(params, statics, frame, cond, pos, sched,
                               with_grad=True, with_feature=True,
-                              eval_mode=True, global_step=step)
+                              eval_mode=True, global_step=step,
+                              mask=smask.reshape(-1))
     pos_cano, sdf, _, sdf_grad, _, feat = out[:6]
     normal_world = model.deformer.rigid.transform_dirs_s2w(frame, sdf_grad)
     dirs_world = model.deformer.rigid.transform_dirs_s2w(

@@ -155,16 +155,47 @@ class IntrinsicAvatar:
 
     def _deform_query(self, params, statics, frame, cond, pts, sched,
                       with_grad, with_feature, with_laplace=False,
-                      eval_mode=True, rng=None, global_step=0):
-        """Canonicalize + query geometry; returns the deformer output list."""
+                      eval_mode=True, rng=None, global_step=0, mask=None,
+                      budget=None):
+        """Canonicalize + query geometry; returns the deformer output list.
+
+        When ``mask`` is given and query compaction is enabled, only a fixed
+        budget of valid points runs the (expensive) Broyden search + field
+        query; the rest receive neutral fills (sdf=1e5 -> alpha=0) — the
+        TPU-native replacement for the reference's ragged packed evaluation.
+        """
 
         def geometry_fn(xc):
             return self._geometry_query(params, sched, xc, with_grad,
                                         with_feature, with_laplace, rng)
 
-        return self.deformer(
-            params["deformer"], statics, frame, pts, cond, geometry_fn,
-            with_jac=with_grad, eval_mode=eval_mode, global_step=global_step)
+        def query(p):
+            out = self.deformer(
+                params["deformer"], statics, frame, p, cond, geometry_fn,
+                with_jac=with_grad, eval_mode=eval_mode,
+                global_step=global_step)
+            return tuple(out)
+
+        frac = self.config.get("query_compaction", 0.5)
+        if mask is None or not frac:
+            return list(query(pts))
+
+        from intrinsicavatar_tpu.ops.compact import compact_apply
+        M = pts.shape[0]
+        if budget is None:
+            budget = int(np.ceil(M * float(frac) / 128.0)) * 128
+        budget = min(max(budget, 128), M)
+        # fills by deformer output position: pts_cano, sdf, valid,
+        # [grad_obs, grad_cano, feat, laplace]
+        fills = [0.0, 1e5, False]
+        if with_grad:
+            fills += [jnp.asarray([0.0, 0.0, 1.0]),
+                      jnp.asarray([0.0, 0.0, 1.0])]
+        if with_feature:
+            fills.append(0.0)
+        if with_laplace:
+            fills.append(0.0)
+        return list(compact_apply(query, pts, mask, budget, fills))
 
     def get_alpha(self, params, sdf, dists, step):
         beta = self.density.get_beta(params["density"], step)
@@ -194,9 +225,12 @@ class IntrinsicAvatar:
         t = jnp.where(iv.valid, iv.vals, 0.0)
         pos = (rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
                ).reshape(-1, 3)
+        qmask = iv.valid if is_new is None else (iv.valid & is_new)
+        nb = None if is_new is None else R * self.n_importance_samples
         out = self._deform_query(params, statics, frame, cond, pos, sched,
                                  with_grad=False, with_feature=False,
-                                 eval_mode=True, global_step=step)
+                                 eval_mode=True, global_step=step,
+                                 mask=qmask.reshape(-1), budget=nb)
         sdf_new = jax.lax.stop_gradient(out[1]).reshape(R, E)
         if prev_sdf is not None:
             sdf = jnp.where(is_new, sdf_new, prev_sdf)
@@ -223,7 +257,8 @@ class IntrinsicAvatar:
                ).reshape(-1, 3)
         out = self._deform_query(params, statics, frame, cond, pos, sched,
                                  with_grad=False, with_feature=False,
-                                 eval_mode=True, global_step=step)
+                                 eval_mode=True, global_step=step,
+                                 mask=mask.reshape(-1))
         sdf = jax.lax.stop_gradient(out[1]).reshape(mids.shape)
         alphas = self.get_alpha(params, sdf, t_ends - t_starts, step)
         # re-align to edges: alpha of interval k lives at edge slot k
@@ -300,7 +335,8 @@ class IntrinsicAvatar:
         out = self._deform_query(
             params, statics, frame, cond, pos, sched,
             with_grad=True, with_feature=True, with_laplace=with_lap,
-            eval_mode=not flags.training, rng=k_lap, global_step=step)
+            eval_mode=not flags.training, rng=k_lap, global_step=step,
+            mask=smask.reshape(-1))
         pos_cano, sdf, valid, sdf_grad, sdf_grad_cano, feat = out[:6]
         laplace = out[6] if with_lap else jnp.zeros_like(sdf)
 

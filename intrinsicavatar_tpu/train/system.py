@@ -226,11 +226,12 @@ class IntrinsicAvatarSystem:
 
     # ------------------------------------------------------------ steps
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def train_step(self, state: TrainState, batch, t_idx,
-                   flags: RenderFlags):
-        """One optimization step (pure).  ``batch`` carries rays + SMPL
-        params + targets; ``flags`` is static."""
+    def train_step_impl(self, state: TrainState, batch, t_idx,
+                        flags: RenderFlags):
+        """One optimization step (pure, unjitted body).  ``batch`` carries
+        rays + SMPL params + targets; ``flags`` is static.  Wrapped by the
+        single-chip ``train_step`` jit and by
+        ``parallel.sharding.make_sharded_train_step`` for device meshes."""
         rng, k_bg, k_fwd = jax.random.split(state.rng, 3)
         step = state.step
 
@@ -265,6 +266,11 @@ class IntrinsicAvatarSystem:
         new_state = TrainState(params=params, opt_state=opt_state,
                                occ=state.occ, step=step + 1, rng=rng)
         return new_state, losses
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def train_step(self, state: TrainState, batch, t_idx,
+                   flags: RenderFlags):
+        return self.train_step_impl(state, batch, t_idx, flags)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def occ_update_step(self, state: TrainState, batch, t_idx):
