@@ -7,23 +7,26 @@ TPU-native equivalent of the Fast-SNARF CUDA kernels
     (``broyden_kernel``): per (point x bone-init) lane, initialize the
     canonical guess with the bone's inverse rigid transform, then run <=10
     Broyden iterations on ``g(x) = J_vox(x) @ [x;1] - x_target`` where
-    ``J_vox`` is a trilinear sample of the baked fwd-skinning transform voxel;
-    rank-1 "good Broyden" updates of ``J^-1``; convergence |g|<1e-5,
+    ``J_vox`` is a trilinear sample of the baked fwd-skinning transform
+    voxel; rank-1 "good Broyden" updates of ``J^-1``; convergence |g|<1e-5,
     divergence |g|>1e-1; a root is valid only if its normalized grid coords
     lie in [-1,1].
   * :func:`filter_duplicates` — `filter.cu:10-54`: among converged candidates
     of a point, drop any whose root is within 1e-4 of a *later* candidate.
   * :func:`forward_skinning` — `deformer_torch.py:213-227` (``skinning_mask``).
 
-The CUDA one-thread-per-lane loop becomes a ``lax.fori_loop`` over ``[M]``
-lanes with done/valid masks — every lane is pure 3x3 algebra plus an 8-corner
-gather, which XLA vectorizes across the lane axis.
+TPU layout note: the kernel state is held as *structure-of-arrays* — plain
+``[M]`` vectors for each scalar register of the CUDA kernel (x, g, the nine
+J^-1 entries).  Tensors shaped ``[M, 3]``/``[M, 3, 3]``/``[M, 12]`` pad
+their minor dims to the 128-lane tile on TPU (42x HBM blowup at ``[M, 3]``),
+so none are materialized inside the loop; every trilinear sample is a flat
+1-D gather per channel.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,65 +37,99 @@ INIT_BONES = np.array([0, 1, 2, 4, 5, 10, 11, 12, 15, 16, 17, 18, 19],
                       dtype=np.int32)
 
 
+# ---------------------------------------------------------------------------
+# SoA trilinear samplers
+# ---------------------------------------------------------------------------
+
+def _corner_setup(cx, cy, cz, D, H, W, padding):
+    """Shared corner/fraction computation for [-1,1] align_corners coords.
+
+    Returns (x0, y0, z0 int32 base corners, fx, fy, fz fractions).
+    """
+    ix = (cx + 1.0) * 0.5 * (W - 1)
+    iy = (cy + 1.0) * 0.5 * (H - 1)
+    iz = (cz + 1.0) * 0.5 * (D - 1)
+    if padding == "border":
+        ix = jnp.clip(ix, 0.0, W - 1.0)
+        iy = jnp.clip(iy, 0.0, H - 1.0)
+        iz = jnp.clip(iz, 0.0, D - 1.0)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    z0 = jnp.floor(iz)
+    return (x0.astype(jnp.int32), y0.astype(jnp.int32), z0.astype(jnp.int32),
+            ix - x0, iy - y0, iz - z0)
+
+
+def grid_sample_channels(vox_flat: Sequence[jax.Array], shape_dhw,
+                         cx, cy, cz, padding: str = "zeros"):
+    """Trilinear sample of C channels at SoA coords -> tuple of ``[N]``.
+
+    ``vox_flat``: sequence of C flat ``[D*H*W]`` channel arrays;
+    ``cx, cy, cz``: ``[N]`` coords in [-1, 1] (align_corners=True, matching
+    the inlined CUDA sampler `fuse_cuda_kernel_fast.cu:111-248` for zeros
+    padding and torch ``grid_sample(padding_mode='border')`` for border).
+    """
+    D, H, W = shape_dhw
+    x0, y0, z0, fx, fy, fz = _corner_setup(cx, cy, cz, D, H, W, padding)
+    C = len(vox_flat)
+    out = [jnp.zeros_like(cx) for _ in range(C)]
+    for dx in (0, 1):
+        wx = fx if dx else 1.0 - fx
+        for dy in (0, 1):
+            wy = fy if dy else 1.0 - fy
+            for dz in (0, 1):
+                wz = fz if dz else 1.0 - fz
+                px, py, pz = x0 + dx, y0 + dy, z0 + dz
+                if padding == "border":
+                    pxc = jnp.clip(px, 0, W - 1)
+                    pyc = jnp.clip(py, 0, H - 1)
+                    pzc = jnp.clip(pz, 0, D - 1)
+                    w = wx * wy * wz
+                else:
+                    ok = ((px >= 0) & (px < W) & (py >= 0) & (py < H)
+                          & (pz >= 0) & (pz < D))
+                    pxc = jnp.clip(px, 0, W - 1)
+                    pyc = jnp.clip(py, 0, H - 1)
+                    pzc = jnp.clip(pz, 0, D - 1)
+                    w = jnp.where(ok, wx * wy * wz, 0.0)
+                idx = (pzc * H + pyc) * W + pxc
+                for c in range(C):
+                    out[c] = out[c] + w * jnp.take(vox_flat[c], idx, axis=0)
+    return tuple(out)
+
+
 def grid_sample_3d(vox: jax.Array, coords: jax.Array,
                    padding: str = "zeros") -> jax.Array:
-    """Trilinear sampling of ``vox [C, D, H, W]`` at ``coords [N, 3]``.
-
-    ``coords`` are (x, y, z) in [-1, 1] with align_corners=True semantics
-    (matching both the inlined sampler of the Broyden kernel — zeros padding,
-    `fuse_cuda_kernel_fast.cu:111-248` — and torch ``grid_sample`` with
-    border padding used by ``query_weights``, `deformer_torch.py:199-211`).
-
-    Returns ``[N, C]``.
-    """
-    C, D, H, W = vox.shape
-    sizes = jnp.asarray([W, H, D], coords.dtype)
-    # unnormalize: [-1,1] -> [0, size-1]
-    i = (coords + 1.0) / 2.0 * (sizes - 1.0)
-    if padding == "border":
-        i = jnp.clip(i, 0.0, sizes - 1.0)
-    p0 = jnp.floor(i)
-    frac = i - p0
-    p0 = p0.astype(jnp.int32)
-
-    out = jnp.zeros((coords.shape[0], C), vox.dtype)
-    vflat = vox.reshape(C, -1)
-    size_i = jnp.asarray([W, H, D], jnp.int32)
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                cp = p0 + jnp.asarray([dx, dy, dz], jnp.int32)
-                w = (
-                    (frac[:, 0] if dx else 1.0 - frac[:, 0])
-                    * (frac[:, 1] if dy else 1.0 - frac[:, 1])
-                    * (frac[:, 2] if dz else 1.0 - frac[:, 2])
-                )
-                if padding == "border":
-                    cpc = jnp.clip(cp, 0, size_i - 1)
-                    ok = jnp.ones_like(w, dtype=bool)
-                else:
-                    ok = jnp.all((cp >= 0) & (cp < size_i), axis=-1)
-                    cpc = jnp.clip(cp, 0, size_i - 1)
-                flat_idx = (cpc[:, 2] * H + cpc[:, 1]) * W + cpc[:, 0]
-                vals = vflat[:, flat_idx].T                  # [N, C]
-                out = out + jnp.where(ok[:, None], w[:, None] * vals, 0.0)
-    return out
+    """AoS wrapper: ``vox [C, D, H, W]``, ``coords [N, 3]`` -> ``[N, C]``."""
+    C = vox.shape[0]
+    vf = [vox[c].reshape(-1) for c in range(C)]
+    chans = grid_sample_channels(vf, vox.shape[1:], coords[:, 0],
+                                 coords[:, 1], coords[:, 2], padding)
+    return jnp.stack(chans, axis=-1)
 
 
-def _broyden_jinv_update(J_inv, dx, dg):
-    """Rank-1 'good Broyden' update (``fuse_J_inv_update``,
-    `fuse_cuda_kernel_fast.cu:22-56`): J^-1 += (dx - J^-1 dg) (dx^T J^-1) / (dx^T J^-1 dg)."""
-    c = jnp.einsum("...ji,...j->...i", J_inv, dx)       # dx^T J^-1 (row vec)
-    s = jnp.einsum("...i,...i->...", c, dg)[..., None, None]
-    r = -jnp.einsum("...ij,...j->...i", J_inv, dg)      # -J^-1 dg
-    outer = (r + dx)[..., :, None] * c[..., None, :]
-    return J_inv + outer / s
-
+# ---------------------------------------------------------------------------
+# Broyden search (SoA)
+# ---------------------------------------------------------------------------
 
 class BroydenResult(NamedTuple):
-    xc: jax.Array      # [M, 3] converged canonical points (0 where invalid)
-    j_inv: jax.Array   # [M, 3, 3] J^-1 at convergence (pre-final-update)
+    """SoA result: canonical roots as three [M] coords, J^-1 as nine [M]
+    entries (row-major), validity [M].  Use :meth:`xc_array`/:meth:`jinv_array`
+    for the stacked views (they materialize padded buffers — avoid in hot
+    paths)."""
+
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    j_inv: tuple       # 9 x [M], row-major (J00..J22)
     valid: jax.Array   # [M] bool
+
+    def xc_array(self):
+        return jnp.stack([self.x, self.y, self.z], axis=-1)
+
+    def jinv_array(self):
+        M = self.x.shape[0]
+        return jnp.stack(self.j_inv, axis=-1).reshape(M, 3, 3)
 
 
 @partial(jax.jit, static_argnames=("max_iters",))
@@ -107,68 +144,143 @@ def broyden_search(
     dvg_thresh: float = 1e-1,
     max_iters: int = 10,
 ) -> BroydenResult:
+    shape_dhw = voxel_J.shape[1:]
+    vj = [voxel_J[c].reshape(-1) for c in range(12)]
+    tx, ty, tz = xd[:, 0], xd[:, 1], xd[:, 2]
+    ox, oy, oz = offset[0], offset[1], offset[2]
+    skx, sky, skz = scale_kernel[0], scale_kernel[1], scale_kernel[2]
+
+    def sample_J(x, y, z):
+        """Blended 3x4 transform at canonical (x,y,z): 12-tuple of [M]."""
+        return grid_sample_channels(
+            vj, shape_dhw, skx * (x - ox), sky * (y - oy), skz * (z - oz))
+
+    def g_of(J, x, y, z):
+        g0 = J[0] * x + J[1] * y + J[2] * z + J[3] - tx
+        g1 = J[4] * x + J[5] * y + J[6] * z + J[7] - ty
+        g2 = J[8] * x + J[9] * y + J[10] * z + J[11] - tz
+        return g0, g1, g2
+
+    # init: x = R_bone^T (xd - t_bone); per-lane gather of bone transforms
+    tfs_rows = [tfs[:, a, b] for a in range(3) for b in range(4)]  # 12 x [24]
+    Tb = [jnp.take(r, bone_idx, axis=0) for r in tfs_rows]         # 12 x [M]
+    dx_, dy_, dz_ = tx - Tb[3], ty - Tb[7], tz - Tb[11]
+    # R^T v: rows of R^T are columns of R
+    x = Tb[0] * dx_ + Tb[4] * dy_ + Tb[8] * dz_
+    y = Tb[1] * dx_ + Tb[5] * dy_ + Tb[9] * dz_
+    z = Tb[2] * dx_ + Tb[6] * dy_ + Tb[10] * dz_
+
+    J0 = sample_J(x, y, z)
+    # J_inv init = transpose of the rotation block
+    Ji = [J0[0], J0[4], J0[8],
+          J0[1], J0[5], J0[9],
+          J0[2], J0[6], J0[10]]
+    g0, g1, g2 = g_of(J0, x, y, z)
+
     M = xd.shape[0]
-    dtype = xd.dtype
-
-    def norm_coords(x):
-        return scale_kernel[None, :] * (x - offset[None, :])
-
-    def sample_J(x):
-        """Blended 3x4 transform at canonical x: [M, 3, 4]."""
-        return grid_sample_3d(voxel_J, norm_coords(x)).reshape(M, 3, 4)
-
-    def g_of(J_local, x):
-        return (jnp.einsum("mab,mb->ma", J_local[:, :, :3], x)
-                + J_local[:, :, 3] - xd)
-
-    # init: x = R_bone^T (xd - t_bone)
-    Tb = tfs[bone_idx]                                   # [M,4,4]
-    x0 = jnp.einsum("mba,mb->ma", Tb[:, :3, :3], xd - Tb[:, :3, 3])
-    J0 = sample_J(x0)
-    J_inv0 = jnp.swapaxes(J0[:, :, :3], -1, -2)          # transpose of rotation
-    g0 = g_of(J0, x0)
-
-    state = dict(
-        x=x0, gx=g0, J_inv=J_inv0,
-        done=jnp.zeros(M, bool), valid=jnp.zeros(M, bool),
-        out_x=jnp.zeros_like(x0), out_J=jnp.zeros_like(J_inv0),
-    )
+    zeros = jnp.zeros((M,), xd.dtype)
+    state = (x, y, z, g0, g1, g2, *Ji,
+             jnp.zeros(M, bool), jnp.zeros(M, bool),          # done, valid
+             zeros, zeros, zeros,                             # out x/y/z
+             *(zeros,) * 9)                                   # out J^-1
 
     def body(_, s):
-        active = ~s["done"]
-        u = -jnp.einsum("mab,mb->ma", s["J_inv"], s["gx"])
-        x_new = jnp.where(active[:, None], s["x"] + u, s["x"])
-        Jl = sample_J(x_new)
-        g_new = g_of(Jl, x_new)
-        n2 = jnp.sum(g_new * g_new, -1)
+        (x, y, z, g0, g1, g2,
+         J00, J01, J02, J10, J11, J12, J20, J21, J22,
+         done, valid, ox_, oy_, oz_,
+         O00, O01, O02, O10, O11, O12, O20, O21, O22) = s
+        active = ~done
 
-        conv = active & (n2 < cvg_thresh**2)
-        dvg = active & ~conv & (n2 > dvg_thresh**2)
+        u0 = -(J00 * g0 + J01 * g1 + J02 * g2)
+        u1 = -(J10 * g0 + J11 * g1 + J12 * g2)
+        u2 = -(J20 * g0 + J21 * g1 + J22 * g2)
+        xn = jnp.where(active, x + u0, x)
+        yn = jnp.where(active, y + u1, y)
+        zn = jnp.where(active, z + u2, z)
+
+        Jl = sample_J(xn, yn, zn)
+        n0, n1, n2 = g_of(Jl, xn, yn, zn)
+        nsq = n0 * n0 + n1 * n1 + n2 * n2
+
+        conv = active & (nsq < cvg_thresh**2)
+        dvg = active & ~conv & (nsq > dvg_thresh**2)
         cont = active & ~conv & ~dvg
 
-        nc = norm_coords(x_new)
-        in_bounds = jnp.all((nc >= -1.0) & (nc <= 1.0), -1)
+        ncx = skx * (xn - ox)
+        ncy = sky * (yn - oy)
+        ncz = skz * (zn - oz)
+        in_bounds = ((ncx >= -1) & (ncx <= 1) & (ncy >= -1) & (ncy <= 1)
+                     & (ncz >= -1) & (ncz <= 1))
 
-        out_x = jnp.where(conv[:, None], x_new, s["out_x"])
-        out_J = jnp.where(conv[:, None, None], s["J_inv"], s["out_J"])
-        valid = jnp.where(conv, in_bounds, s["valid"])
+        ox_ = jnp.where(conv, xn, ox_)
+        oy_ = jnp.where(conv, yn, oy_)
+        oz_ = jnp.where(conv, zn, oz_)
+        O00 = jnp.where(conv, J00, O00)
+        O01 = jnp.where(conv, J01, O01)
+        O02 = jnp.where(conv, J02, O02)
+        O10 = jnp.where(conv, J10, O10)
+        O11 = jnp.where(conv, J11, O11)
+        O12 = jnp.where(conv, J12, O12)
+        O20 = jnp.where(conv, J20, O20)
+        O21 = jnp.where(conv, J21, O21)
+        O22 = jnp.where(conv, J22, O22)
+        valid = jnp.where(conv, in_bounds, valid)
 
-        J_upd = _broyden_jinv_update(s["J_inv"], u, g_new - s["gx"])
-        J_inv = jnp.where(cont[:, None, None], J_upd, s["J_inv"])
-        gx = jnp.where(cont[:, None], g_new, s["gx"])
-        done = s["done"] | conv | dvg
-        return dict(x=x_new, gx=gx, J_inv=J_inv, done=done, valid=valid,
-                    out_x=out_x, out_J=out_J)
+        # rank-1 'good Broyden' update (`fuse_J_inv_update`,
+        # fuse_cuda_kernel_fast.cu:22-56): c = dx^T J^-1; s = c . dg;
+        # J^-1 += (dx - J^-1 dg) c / s
+        d0, d1, d2 = n0 - g0, n1 - g1, n2 - g2
+        c0 = J00 * u0 + J10 * u1 + J20 * u2
+        c1 = J01 * u0 + J11 * u1 + J21 * u2
+        c2 = J02 * u0 + J12 * u1 + J22 * u2
+        sden = c0 * d0 + c1 * d1 + c2 * d2
+        r0 = -(J00 * d0 + J01 * d1 + J02 * d2)
+        r1 = -(J10 * d0 + J11 * d1 + J12 * d2)
+        r2 = -(J20 * d0 + J21 * d1 + J22 * d2)
+        inv_s = jnp.where(jnp.abs(sden) > 1e-30, 1.0 / sden, 0.0)
+        a0 = (r0 + u0) * inv_s
+        a1 = (r1 + u1) * inv_s
+        a2 = (r2 + u2) * inv_s
+        J00 = jnp.where(cont, J00 + c0 * a0, J00)
+        J01 = jnp.where(cont, J01 + c1 * a0, J01)
+        J02 = jnp.where(cont, J02 + c2 * a0, J02)
+        J10 = jnp.where(cont, J10 + c0 * a1, J10)
+        J11 = jnp.where(cont, J11 + c1 * a1, J11)
+        J12 = jnp.where(cont, J12 + c2 * a1, J12)
+        J20 = jnp.where(cont, J20 + c0 * a2, J20)
+        J21 = jnp.where(cont, J21 + c1 * a2, J21)
+        J22 = jnp.where(cont, J22 + c2 * a2, J22)
+
+        g0 = jnp.where(cont, n0, g0)
+        g1 = jnp.where(cont, n1, g1)
+        g2 = jnp.where(cont, n2, g2)
+        done = done | conv | dvg
+        return (xn, yn, zn, g0, g1, g2,
+                J00, J01, J02, J10, J11, J12, J20, J21, J22,
+                done, valid, ox_, oy_, oz_,
+                O00, O01, O02, O10, O11, O12, O20, O21, O22)
 
     s = jax.lax.fori_loop(0, max_iters, body, state)
-    # Lanes that never converged (done by divergence or iteration cap) are
-    # invalid; their outputs stay zero like the CUDA pre-zeroed buffers.
-    valid = s["valid"]
+    valid = s[16]
+    vf = valid.astype(xd.dtype)
     return BroydenResult(
-        xc=jnp.where(valid[:, None], s["out_x"], 0.0),
-        j_inv=jnp.where(valid[:, None, None], s["out_J"], 0.0),
+        x=s[17] * vf, y=s[18] * vf, z=s[19] * vf,
+        j_inv=tuple(s[20 + i] * vf for i in range(9)),
         valid=valid,
     )
+
+
+def filter_duplicates_soa(x, y, z, valid, thresh: float = 1e-4):
+    """SoA duplicate filter over ``[N, I]`` per-coordinate arrays."""
+    d2 = ((x[:, :, None] - x[:, None, :]) ** 2
+          + (y[:, :, None] - y[:, None, :]) ** 2
+          + (z[:, :, None] - z[:, None, :]) ** 2)        # [N, I, I]
+    I = x.shape[1]
+    later = (jnp.arange(I)[:, None] < jnp.arange(I)[None, :])
+    dup = jnp.any(
+        later[None] & valid[:, None, :] & (d2 < thresh * thresh), axis=-1
+    )
+    return valid & ~dup
 
 
 @jax.jit
@@ -190,13 +302,27 @@ def filter_duplicates(xc: jax.Array, valid: jax.Array,
     return valid & ~dup
 
 
-def forward_skinning(xc: jax.Array, weights: jax.Array, tfs: jax.Array):
-    """LBS: canonical points + blend weights -> deformed points.
+def forward_skinning_soa(xc_x, xc_y, xc_z, weights, tfs):
+    """LBS in SoA form: ``[M]`` coords + ``[M, 24]`` weights.
 
-    Returns ``(xd [M,3], fwd_rot [M,3,3])`` — the blended transform's
-    rotation block is what maps canonical normals to observation space when
-    ``use_j_inv`` is off (`deformer_torch.py:213-227`).
+    Returns ``(xd 3-tuple of [M], rot 9-tuple of [M])`` — the blended
+    transform's rotation maps canonical normals to observation space
+    (`deformer_torch.py:213-227`).
     """
-    w_tf = jnp.einsum("mj,jab->mab", weights, tfs)
-    xd = jnp.einsum("mab,mb->ma", w_tf[:, :3, :3], xc) + w_tf[:, :3, 3]
-    return xd, w_tf[:, :3, :3]
+    # blended transform entries: w [M,24] @ tfs_component [24] -> [M]
+    t = [weights @ tfs[:, a, b] for a in range(3) for b in range(4)]
+    xd0 = t[0] * xc_x + t[1] * xc_y + t[2] * xc_z + t[3]
+    xd1 = t[4] * xc_x + t[5] * xc_y + t[6] * xc_z + t[7]
+    xd2 = t[8] * xc_x + t[9] * xc_y + t[10] * xc_z + t[11]
+    rot = (t[0], t[1], t[2], t[4], t[5], t[6], t[8], t[9], t[10])
+    return (xd0, xd1, xd2), rot
+
+
+def forward_skinning(xc: jax.Array, weights: jax.Array, tfs: jax.Array):
+    """AoS wrapper: returns ``(xd [M,3], fwd_rot [M,3,3])``."""
+    (x0, x1, x2), rot = forward_skinning_soa(
+        xc[:, 0], xc[:, 1], xc[:, 2], weights, tfs)
+    xd = jnp.stack([x0, x1, x2], -1)
+    M = xc.shape[0]
+    fwd = jnp.stack(rot, -1).reshape(M, 3, 3)
+    return xd, fwd

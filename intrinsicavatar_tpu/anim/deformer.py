@@ -42,8 +42,8 @@ from intrinsicavatar_tpu.anim.lbs_voxel import (
     VoxelSpec, make_voxel_spec, make_weight_voxel, precompute_transform_voxels,
 )
 from intrinsicavatar_tpu.anim.broyden import (
-    INIT_BONES, BroydenResult, broyden_search, filter_duplicates,
-    forward_skinning, grid_sample_3d,
+    INIT_BONES, BroydenResult, broyden_search, filter_duplicates_soa,
+    forward_skinning_soa, grid_sample_3d,
 )
 
 
@@ -229,67 +229,86 @@ class FastSNARF:
         N = pts.shape[0]
         I, K = self.n_init, min(self.max_candidates, self.n_init)
         res = self.search(frame, pts)
-        xc = res.xc.reshape(N, I, 3)
-        j_inv = res.j_inv.reshape(N, I, 3, 3)
-        valid = filter_duplicates(xc, res.valid.reshape(N, I))
+        # SoA throughout: [M]-shaped coordinate/entry vectors; [M, 3]-style
+        # arrays pad 42x on TPU and are only formed at the geometry boundary.
+        valid = filter_duplicates_soa(
+            res.x.reshape(N, I), res.y.reshape(N, I), res.z.reshape(N, I),
+            res.valid.reshape(N, I))
 
         # Rectangularize: keep the first K valid candidates per point.  The
         # reference evaluates the ragged valid set; >K survivors are rare
         # (duplicates are filtered) and dropping them only skips redundant
         # near-identical roots.
         order = jnp.argsort(~valid, axis=1, stable=True)[:, :K]   # [N,K]
-        take = lambda a: jnp.take_along_axis(
-            a, order.reshape(N, K, *([1] * (a.ndim - 2))), axis=1)
-        xc_k = take(xc)                                           # [N,K,3]
-        jinv_k = take(j_inv)                                      # [N,K,3,3]
-        valid_k = jnp.take_along_axis(valid, order, axis=1)       # [N,K]
-
-        xc_flat = xc_k.reshape(N * K, 3)
-        valid_flat = valid_k.reshape(N * K)
+        lane = (jnp.arange(N, dtype=jnp.int32)[:, None] * I
+                + order).reshape(-1)                              # [N*K] flat
+        take = lambda a: jnp.take(a, lane, axis=0)
+        cx, cy, cz = take(res.x), take(res.y), take(res.z)
+        jinv = tuple(take(j) for j in res.j_inv)
+        valid_flat = take(valid.reshape(-1) & res.valid)
 
         if not eval_mode:
             # implicit-diff correction: gradients to pose flow through the
-            # forward skinning of the (detached) roots.
-            weights = self.query_weights(statics,
-                                         jax.lax.stop_gradient(xc_flat))
-            xd_opt, fwd_rot = forward_skinning(
-                jax.lax.stop_gradient(xc_flat), weights, frame.tfs)
-            grad_inv = jax.lax.stop_gradient(jinv_k.reshape(N * K, 3, 3))
-            corr = -jnp.einsum("mab,mb->ma", grad_inv,
-                               xd_opt - jax.lax.stop_gradient(xd_opt))
-            xc_flat = xc_flat + jnp.where(valid_flat[:, None], corr, 0.0)
+            # forward skinning of the (detached) roots
+            # (`deformer_torch.py:57-76`).
+            xc_stop = jax.lax.stop_gradient(
+                jnp.stack([cx, cy, cz], axis=-1))
+            weights = self.query_weights(statics, xc_stop)
+            (xd0, xd1, xd2), fwd_rot = forward_skinning_soa(
+                jax.lax.stop_gradient(cx), jax.lax.stop_gradient(cy),
+                jax.lax.stop_gradient(cz), weights, frame.tfs)
+            r0 = xd0 - jax.lax.stop_gradient(xd0)
+            r1 = xd1 - jax.lax.stop_gradient(xd1)
+            r2 = xd2 - jax.lax.stop_gradient(xd2)
+            vf = valid_flat.astype(cx.dtype)
+            cx = cx - vf * (jinv[0] * r0 + jinv[1] * r1 + jinv[2] * r2)
+            cy = cy - vf * (jinv[3] * r0 + jinv[4] * r1 + jinv[5] * r2)
+            cz = cz - vf * (jinv[6] * r0 + jinv[7] * r1 + jinv[8] * r2)
         else:
-            weights = self.query_weights(statics, xc_flat)
-            _, fwd_rot = forward_skinning(xc_flat, weights, frame.tfs)
+            weights = self.query_weights(statics,
+                                         jnp.stack([cx, cy, cz], axis=-1))
+            _, fwd_rot = forward_skinning_soa(cx, cy, cz, weights, frame.tfs)
 
-        c2w = jinv_k.reshape(N * K, 3, 3) if self.use_j_inv else fwd_rot
+        c2w = jinv if self.use_j_inv else fwd_rot                # 9 x [M]
 
+        xc_flat = jnp.stack([cx, cy, cz], axis=-1)
         ret, j_inv_nr = geometry_fn(xc_flat)
-        c2w = c2w @ j_inv_nr
         if not isinstance(ret, (tuple, list)):
             ret = (ret,)
         sdf = jnp.where(valid_flat, ret[0], 1e5).reshape(N, K)
 
-        idx = jnp.argmin(sdf, axis=-1)                            # [N]
-        gather = lambda a: jnp.take_along_axis(
-            a.reshape(N, K, -1), idx[:, None, None], axis=1)[:, 0]
+        idx = jnp.argmin(sdf, axis=-1)                           # [N]
+        sel = jnp.arange(N, dtype=jnp.int32) * K + idx           # flat [N]
+        g1 = lambda a: jnp.take(a, sel, axis=0)                  # [M] -> [N]
+        gather = lambda a: jnp.take(a.reshape(N * K, -1), sel, axis=0)
 
-        out = [gather(xc_flat), jnp.min(sdf, axis=-1),
-               jnp.any(valid_k, axis=-1)]
-        default_grad = jnp.asarray([0.0, 0.0, 1.0])
+        out = [jnp.stack([g1(cx), g1(cy), g1(cz)], axis=-1),
+               jnp.min(sdf, axis=-1),
+               jnp.any(valid_flat.reshape(N, K), axis=-1)]
         if len(ret) > 1:
-            grad_cano = jnp.where(valid_flat[:, None], ret[1], default_grad)
-            grad_obs = jnp.where(
-                valid_flat[:, None],
-                jnp.einsum("mab,mb->ma", c2w, grad_cano), default_grad)
-            out.append(gather(grad_obs))
-            out.append(gather(grad_cano))
+            gx, gy, gz = ret[1][:, 0], ret[1][:, 1], ret[1][:, 2]
+            if j_inv_nr is not None:
+                # chain the non-rigid inverse Jacobian: c2w <- c2w @ J_nr
+                nr = [j_inv_nr[:, a, b] for a in range(3) for b in range(3)]
+                c2w = tuple(
+                    c2w[3 * a + 0] * nr[0 + b] + c2w[3 * a + 1] * nr[3 + b]
+                    + c2w[3 * a + 2] * nr[6 + b]
+                    for a in range(3) for b in range(3))
+            vf = valid_flat.astype(gx.dtype)
+            ox = vf * (c2w[0] * gx + c2w[1] * gy + c2w[2] * gz)
+            oy = vf * (c2w[3] * gx + c2w[4] * gy + c2w[5] * gz)
+            oz = vf * (c2w[6] * gx + c2w[7] * gy + c2w[8] * gz) \
+                + (1.0 - vf)
+            gcx, gcy = vf * gx, vf * gy
+            gcz = vf * gz + (1.0 - vf)
+            out.append(jnp.stack([g1(ox), g1(oy), g1(oz)], axis=-1))
+            out.append(jnp.stack([g1(gcx), g1(gcy), g1(gcz)], axis=-1))
         if len(ret) > 2:
             feat = jnp.where(valid_flat[:, None], ret[2], 0.0)
             out.append(gather(feat))
         if len(ret) > 3:
             lap = jnp.where(valid_flat, ret[3], 0.0)
-            out.append(gather(lap)[:, 0])
+            out.append(g1(lap))
         return out
 
 

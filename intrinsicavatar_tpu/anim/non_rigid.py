@@ -33,9 +33,8 @@ class DummyNonRigidDeformer:
 
     def __call__(self, params, points, cond=None, with_jac=False,
                  global_step=0):
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype),
-                               (*points.shape[:-1], 3, 3))
-        return points, eye
+        # None Jacobian: callers skip the (identity) 3x3 chain entirely
+        return points, None
 
 
 @register("non-rigid-deformer")
@@ -94,6 +93,5 @@ class NonRigidDeformer:
             j_inv = jnp.linalg.inv(jax.lax.stop_gradient(jac))
         else:
             out = points + on * self._displace(params, points, cond, mask)
-            j_inv = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype),
-                                     (*points.shape[:-1], 3, 3))
+            j_inv = None
         return out, j_inv

@@ -103,37 +103,47 @@ def hashgrid_encode(
     res = jnp.asarray(spec.resolutions, jnp.int32)        # [L]
     dense = jnp.asarray(spec.dense_levels)                # [L] bool
 
-    pos = x[:, None, :] * scales[None, :, None] + 0.5     # [N,L,3]
-    p0 = jnp.floor(pos)
-    w = pos - p0                                          # [N,L,3]
-    p0 = p0.astype(jnp.int32)
+    # TPU layout note: all per-corner work is kept in [N, L]-shaped (or
+    # flat [N*L*F]) arrays — never [N, L, 8, F] — because minor dims of
+    # 2/3/8 pad to 128 lanes on TPU (observed 16-64x HBM expansion).
+    px = x[:, 0:1] * scales[None, :] + 0.5                # [N,L]
+    py = x[:, 1:2] * scales[None, :] + 0.5
+    pz = x[:, 2:3] * scales[None, :] + 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    z0 = jnp.floor(pz)
+    fx, fy, fz = px - x0, py - y0, pz - z0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    z0 = z0.astype(jnp.int32)
 
-    offs = jnp.asarray(_corner_offsets(), jnp.int32)      # [8,3]
-    cp = p0[:, :, None, :] + offs[None, None]             # [N,L,8,3]
-    cp = jnp.clip(cp, 0, (res - 1)[None, :, None, None])
+    level_base = (jnp.arange(L, dtype=jnp.int32) * T)[None, :]
+    table_flat = table.reshape(L * T * F)
+    farange = jnp.arange(F, dtype=jnp.int32)
 
-    # dense stride index
-    dense_idx = cp[..., 0] + cp[..., 1] * res[None, :, None] \
-        + cp[..., 2] * (res * res)[None, :, None]
-    # xor-prime hash index
-    cpu = cp.astype(jnp.uint32)
-    h = (cpu[..., 0] * np.uint32(_PRIMES[0])
-         ^ cpu[..., 1] * np.uint32(_PRIMES[1])
-         ^ cpu[..., 2] * np.uint32(_PRIMES[2]))
-    hash_idx = (h & np.uint32(T - 1)).astype(jnp.int32)
+    out = jnp.zeros((N, L * F), x.dtype)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                cx = jnp.clip(x0 + dx, 0, res - 1)
+                cy = jnp.clip(y0 + dy, 0, res - 1)
+                cz = jnp.clip(z0 + dz, 0, res - 1)
+                dense_idx = cx + cy * res + cz * res * res
+                h = (cx.astype(jnp.uint32) * np.uint32(_PRIMES[0])
+                     ^ cy.astype(jnp.uint32) * np.uint32(_PRIMES[1])
+                     ^ cz.astype(jnp.uint32) * np.uint32(_PRIMES[2]))
+                hash_idx = (h & np.uint32(T - 1)).astype(jnp.int32)
+                idx = jnp.where(dense[None, :], dense_idx % T, hash_idx)
+                w = ((fx if dx else 1.0 - fx)
+                     * (fy if dy else 1.0 - fy)
+                     * (fz if dz else 1.0 - fz))          # [N, L]
+                # flat gather of all F features, laid out [N, L*F] directly
+                flat = (jnp.repeat((idx + level_base) * F, F, axis=1)
+                        + jnp.tile(farange, L)[None, :])
+                feats = jnp.take(table_flat, flat.reshape(-1),
+                                 axis=0).reshape(N, L * F)
+                out = out + feats * jnp.repeat(w, F, axis=1)
 
-    idx = jnp.where(dense[None, :, None], dense_idx % T, hash_idx)  # [N,L,8]
-    level_base = (jnp.arange(L, dtype=jnp.int32) * T)[None, :, None]
-    flat = (idx + level_base).reshape(-1)
-
-    feats = table.reshape(L * T, F)[flat].reshape(N, L, 8, F)
-
-    # trilinear weights: prod over axes of (1-w) or w per corner bit
-    cw = jnp.where(offs[None, None].astype(bool), w[:, :, None, :],
-                   1.0 - w[:, :, None, :])                # [N,L,8,3]
-    cw = cw[..., 0] * cw[..., 1] * cw[..., 2]             # [N,L,8]
-
-    out = jnp.einsum("nlcf,nlc->nlf", feats, cw).reshape(N, L * F)
     if level_mask is not None:
         out = out * level_mask[None, :]
     if spec.include_xyz:

@@ -124,7 +124,7 @@ def test_broyden_inverts_forward_skinning(posed_setup, rng):
         jnp.asarray(spec.scale_kernel),
     )
     valid = np.asarray(res.valid).reshape(N, I)
-    xc = np.asarray(res.xc).reshape(N, I, 3)
+    xc = np.asarray(res.xc_array()).reshape(N, I, 3)
     assert valid.any(axis=1).mean() > 0.9, "most points should find a root"
     # every valid root must forward-skin back to the target
     vmask = valid.reshape(-1)
