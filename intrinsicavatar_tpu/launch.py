@@ -1,0 +1,150 @@
+"""CLI launcher: train / validate / test / predict.
+
+Equivalent of `launch.py` (taconite/IntrinsicAvatar) without Lightning/Hydra:
+
+    python -m intrinsicavatar_tpu.launch --config configs/peoplesnapshot.yaml \
+        --mode train dataset.subject=male-3-casual trainer.max_steps=25000
+
+Dotlist overrides apply after the YAML; ``--mode test`` restores the latest
+checkpoint with occupancy grids and pose corrections dropped
+(`launch.py:111-125` in the reference).  Experiment outputs land in
+``exp/<name>/<tag>/{ckpt,save,config}``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_dataset(cfg, split, mode, rng=None):
+    from intrinsicavatar_tpu import data as data_mod
+
+    name = cfg.dataset.get("name", "synthetic")
+    return data_mod.make(name, cfg.dataset, split=split, mode=mode, rng=rng)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--mode", default="train",
+                        choices=["train", "validate", "test", "predict"])
+    parser.add_argument("--resume", default=None)
+    parser.add_argument("--exp-dir", default="exp")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    import jax
+    from intrinsicavatar_tpu.utils.config import (
+        load_yaml, merge, resolve, apply_dotlist,
+    )
+    from intrinsicavatar_tpu.utils.default_config import default_config
+    from intrinsicavatar_tpu.train.system import IntrinsicAvatarSystem
+    from intrinsicavatar_tpu.utils import checkpoint as ckpt
+
+    cfg = default_config()
+    if args.config:
+        cfg = merge(cfg, load_yaml(args.config))
+    if args.overrides:
+        cfg = apply_dotlist(cfg, args.overrides)
+    cfg = resolve(cfg)
+
+    seed = cfg.get("seed", 42)
+    key = jax.random.PRNGKey(seed)
+    np.random.seed(seed)
+
+    name = cfg.get("name", "intrinsic-avatar")
+    run_dir = os.path.join(args.exp_dir, name, time.strftime("%Y%m%d-%H%M%S"))
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2, default=str)
+
+    system = IntrinsicAvatarSystem(cfg)
+    dataset = build_dataset(cfg, "train", "train",
+                            rng=np.random.default_rng(seed))
+    state = system.setup(dataset.betas, key, n_frames=len(dataset))
+
+    if args.resume:
+        restored = ckpt.restore_checkpoint(args.resume, state._asdict())
+        if args.mode == "test":
+            restored = ckpt.filter_for_test(restored)
+            cur = state._asdict()
+            cur["params"].update(restored.get("params", {}))
+            for k in ("step",):
+                cur[k] = restored.get(k, cur[k])
+            state = type(state)(**cur)
+        else:
+            state = type(state)(**restored)
+
+    if args.mode == "train":
+        max_steps = cfg.trainer.get("max_steps", 25000)
+        log_every = cfg.trainer.get("log_every_n_steps", 100)
+
+        def log(step, losses):
+            msg = " ".join(f"{k}={float(v):.4f}" for k, v in
+                           sorted(losses.items()) if np.ndim(v) == 0)
+            print(f"[{step}] {msg}", flush=True)
+
+        def all_frames():
+            import jax.numpy as jnp
+            return [
+                {k: jnp.asarray(v) for k, v in dataset.pose_batch(i).items()}
+                for i in range(len(dataset))
+            ]
+
+        state, _ = system.fit(dataset.train_iter(), state, max_steps,
+                              log_every=log_every, callback=log,
+                              all_frames_fn=all_frames)
+        ckpt.save_checkpoint(os.path.join(run_dir, "ckpt", "final"), state)
+        print("saved checkpoint to", os.path.join(run_dir, "ckpt", "final"))
+
+    elif args.mode in ("validate", "test", "predict"):
+        from intrinsicavatar_tpu.train.evaluate import (
+            render_frame, frame_metrics, dump_frame_images,
+            export_canonical_mesh, dump_envmap,
+        )
+        import jax.numpy as jnp
+
+        split = "val" if args.mode == "validate" else "test"
+        eval_ds = build_dataset(cfg, split, split if split != "val"
+                                else "val")
+        step = int(state.step) if int(state.step) > 0 else 25000
+        flags = system.flags_for_step(step, training=False)
+        all_metrics = []
+        for i in range(len(eval_ds)):
+            batch_np = eval_ds[i]
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+                     if k != "t_idx"}
+            out = render_frame(system, state.params, batch, step,
+                               jax.random.PRNGKey(i), flags,
+                               ray_chunk=cfg.model.get("ray_chunk", 4096))
+            if "rgb" in batch_np:
+                m = frame_metrics(out, batch_np, getattr(eval_ds, "img_wh",
+                                                         None))
+                all_metrics.append(m)
+                print(f"frame {i}: " + " ".join(
+                    f"{k}={v:.3f}" for k, v in m.items()
+                    if np.ndim(v) == 0))
+            if getattr(eval_ds, "img_wh", None):
+                dump_frame_images(os.path.join(run_dir, "save"),
+                                  f"{split}_{i:04d}", out, batch_np,
+                                  eval_ds.img_wh)
+        if all_metrics:
+            agg = {k: float(np.mean([m[k] for m in all_metrics]))
+                   for k in all_metrics[0] if np.ndim(all_metrics[0][k]) == 0}
+            print("mean:", json.dumps(agg))
+            with open(os.path.join(run_dir, "metrics.json"), "w") as f:
+                json.dump(agg, f, indent=2)
+        if args.mode == "test":
+            export_canonical_mesh(system, state.params, step,
+                                  os.path.join(run_dir, "save", "mesh.obj"))
+            dump_envmap(system, state.params,
+                        os.path.join(run_dir, "save", "envmap.exr"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Validation / test evaluation: chunked full-image rendering + metrics.
+
+Equivalent of the reference's validation/test steps
+(`systems/intrinsic_avatar.py:303-930` in taconite/IntrinsicAvatar):
+per-frame deformed-space occupancy grid, white background, chunked
+ray rendering, PSNR/SSIM(/LPIPS) + normal error + channel-aligned albedo
+metrics, image-grid dumps, relighting with a test HDRI (checkpoint emitter
+replaced, ``render_mode='light'``), mesh export.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intrinsicavatar_tpu.render.renderer import RenderFlags
+from intrinsicavatar_tpu.render.occupancy import (
+    OccGridState, compute_test_occ_grid,
+)
+from intrinsicavatar_tpu.utils import metrics as M
+from intrinsicavatar_tpu.utils import saver
+
+
+def build_test_occ_grid(system, params, batch, step, key, resolution=64):
+    """Fresh per-frame grid in deformed space
+    (`models/intrinsic_avatar.py:286-305,307-381`)."""
+    model = system.model
+    frame, cond = model.prepare(params, system.statics, batch, step)
+    sched = model._schedules(step)
+    aabb2 = model.deformer.rigid.get_bbox_deformed(frame)
+    aabb = jnp.concatenate([aabb2[0], aabb2[1]])
+    fn = model.occ_eval_fn(params, system.statics, frame, cond, sched, step)
+    binaries = compute_test_occ_grid(fn, aabb, key, resolution=resolution,
+                                     occ_thre=0.01)
+    occ = OccGridState(
+        occs=jnp.zeros((1, resolution**3)),
+        binaries=binaries[None],
+        aabbs=aabb[None],
+    )
+    return occ, frame, cond
+
+
+def render_frame(system, params, batch, step, key, flags: RenderFlags,
+                 ray_chunk: int = 4096, occ=None, frame=None, cond=None,
+                 emitter_state=None):
+    """Chunked full-frame render; returns stitched output maps (numpy)."""
+    model = system.model
+    if occ is None:
+        key, k_occ = jax.random.split(key)
+        occ, frame, cond = build_test_occ_grid(system, params, batch, step,
+                                               k_occ)
+    rays = batch["rays"]
+    R = rays.shape[0]
+    bg = jnp.ones(3)
+
+    outs = []
+    pad = (-R) % ray_chunk
+    rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
+
+    @jax.jit
+    def render_chunk(chunk, k):
+        return model.forward(params, system.statics, frame, cond, occ,
+                             chunk, k, step, flags, t_idx=0.0,
+                             background_color=bg,
+                             emitter_state=emitter_state)
+
+    keep = ("comp_rgb_full", "comp_normal", "opacity", "depth",
+            "comp_rgb_phys_full", "comp_demod_phys_full", "comp_albedo_full",
+            "comp_roughness_full", "comp_metallic_full", "rays_valid",
+            "visibility")
+    for i in range(0, R + pad, ray_chunk):
+        key, k = jax.random.split(key)
+        o = render_chunk(rays_p[i:i + ray_chunk], k)
+        outs.append({k2: np.asarray(v) for k2, v in o.items() if k2 in keep})
+    stitched = {
+        k2: np.concatenate([o[k2] for o in outs])[:R]
+        for k2 in outs[0]
+    }
+    return stitched
+
+
+def frame_metrics(out: dict, batch: dict, img_wh=None) -> dict:
+    """PSNR/SSIM (+ normal error, aligned albedo) for one frame."""
+    m: dict = {}
+    gt = np.asarray(batch["rgb"])
+    mask = np.asarray(batch.get("valid_mask",
+                                np.ones(gt.shape[0], bool))).astype(bool)
+    pred = out["comp_rgb_full"]
+    m["psnr"] = M.masked_psnr(pred, gt, mask)
+    if img_wh is not None:
+        W, H = img_wh
+        alpha2d = np.asarray(batch["alpha"]).reshape(H, W)
+        m["ssim"] = M.cropped_ssim(pred.reshape(H, W, 3),
+                                   gt.reshape(H, W, 3), alpha2d > 0)
+    if "comp_rgb_phys_full" in out:
+        m["psnr_phys"] = M.masked_psnr(out["comp_rgb_phys_full"], gt, mask)
+    if "normal" in batch:
+        m["normal_error_deg"] = M.normal_angular_error_deg(
+            out["comp_normal"], np.asarray(batch["normal"]),
+            mask & (np.asarray(batch["alpha"]) > 0))
+    if "albedo" in batch and "comp_albedo_full" in out:
+        fg = mask & (np.asarray(batch["alpha"]) > 0)
+        m["albedo_psnr"], m["albedo_scale"] = M.albedo_aligned_metrics(
+            out["comp_albedo_full"], np.asarray(batch["albedo"]), fg)
+    return m
+
+
+def dump_frame_images(out_dir: str, name: str, out: dict, batch: dict,
+                      img_wh):
+    """Image-grid dump per eval frame
+    (`systems/intrinsic_avatar.py:423-542`)."""
+    W, H = img_wh
+    imgs = []
+    if "rgb" in batch:
+        imgs.append(np.asarray(batch["rgb"]).reshape(H, W, 3))
+    imgs.append(out["comp_rgb_full"].reshape(H, W, 3))
+    imgs.append(out["comp_normal"].reshape(H, W, 3) * 0.5 + 0.5)
+    imgs.append(np.repeat(out["opacity"].reshape(H, W, 1), 3, -1))
+    for k in ("comp_rgb_phys_full", "comp_demod_phys_full",
+              "comp_albedo_full"):
+        if k in out:
+            imgs.append(out[k].reshape(H, W, 3))
+    for k in ("comp_roughness_full", "comp_metallic_full", "visibility"):
+        if k in out and out[k].shape[-1] == 1:
+            imgs.append(np.repeat(out[k].reshape(H, W, 1), 3, -1))
+    saver.save_image_grid(os.path.join(out_dir, f"{name}.png"), imgs,
+                          ncols=4)
+
+
+def export_canonical_mesh(system, params, step, path, resolution=256):
+    """Marching-tetrahedra export of the canonical SDF
+    (`systems/intrinsic_avatar.py:923-930`)."""
+    from intrinsicavatar_tpu.utils.marching import (
+        extract_isosurface, export_mesh_obj,
+    )
+
+    model = system.model
+    sched = model._schedules(step)
+
+    @jax.jit
+    def sdf_fn(x):
+        return model.geometry.sdf(params["geometry"], x, sched["geo_mask"])
+
+    def np_sdf(x):
+        return np.asarray(sdf_fn(jnp.asarray(x, jnp.float32)))
+
+    bbox = model.deformer.bbox
+    verts, faces = extract_isosurface(np_sdf, bbox, resolution=resolution)
+    export_mesh_obj(path, verts, faces)
+    return verts, faces
+
+
+def dump_envmap(system, params, path):
+    """EXR/npy dump of the learned environment light
+    (`systems/intrinsic_avatar.py:553-564`)."""
+    img = np.asarray(system.model.emitter.generate_image(params["emitter"]))
+    return saver.save_hdr(path, img)
