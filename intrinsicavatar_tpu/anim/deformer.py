@@ -239,7 +239,8 @@ class FastSNARF:
         # reference evaluates the ragged valid set; >K survivors are rare
         # (duplicates are filtered) and dropping them only skips redundant
         # near-identical roots.
-        order = jnp.argsort(~valid, axis=1, stable=True)[:, :K]   # [N,K]
+        from intrinsicavatar_tpu.ops.compact import stable_partition_rows
+        order = stable_partition_rows(valid)[:, :K]               # [N,K]
         lane = (jnp.arange(N, dtype=jnp.int32)[:, None] * I
                 + order).reshape(-1)                              # [N*K] flat
         take = lambda a: jnp.take(a, lane, axis=0)

@@ -22,13 +22,30 @@ import jax
 import jax.numpy as jnp
 
 
+def stable_partition_indices(mask: jax.Array) -> jax.Array:
+    """Permutation putting True entries first, order preserved (``[M]``).
+
+    Cheaper than ``argsort(~mask)``: two cumsums + one scatter instead of a
+    sorting network.
+    """
+    M = mask.shape[0]
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    pos_v = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    pos_i = n_valid + jnp.cumsum((~mask).astype(jnp.int32)) - 1
+    slot = jnp.where(mask, pos_v, pos_i)
+    return jnp.zeros((M,), jnp.int32).at[slot].set(
+        jnp.arange(M, dtype=jnp.int32))
+
+
+stable_partition_rows = jax.vmap(stable_partition_indices)
+
+
 def compact_indices(mask: jax.Array, budget: int):
     """Indices of up to ``budget`` valid entries (valid-first stable order).
 
     Returns ``(idx [budget], picked_valid [budget])``.
     """
-    order = jnp.argsort(~mask, stable=True)
-    idx = order[:budget]
+    idx = stable_partition_indices(mask)[:budget]
     return idx, mask[idx]
 
 

@@ -100,9 +100,10 @@ def occupancy_sampling(
     is_right = occ_pad_l                                       # edge closes i-1
     valid = is_left | is_right
 
-    # left-pack valid edges (t order preserved: invalid -> +inf, stable sort)
+    # left-pack valid edges (t order preserved; cumsum-based partition)
+    from intrinsicavatar_tpu.ops.compact import stable_partition_rows
     vals = jnp.where(valid, edges, jnp.inf)
-    order = jnp.argsort(~valid, axis=-1, stable=True)
+    order = stable_partition_rows(valid)
     take = lambda a: jnp.take_along_axis(a, order, axis=-1)
     return RayIntervals(vals=take(vals), is_left=take(is_left),
                         is_right=take(is_right), valid=take(valid))
