@@ -293,24 +293,24 @@ class IntrinsicAvatar:
 
     # ------------------------------------------------------------ forward
 
-    def forward(self, params, statics, frame, cond, occ: OccGridState,
-                rays_world, rng, step, flags: RenderFlags,
-                t_idx=0.0, background_color=None, emitter_state=None):
-        """Render a batch of rays.  Returns the output dict of Appendix B
-        (`models/intrinsic_avatar.py:1492-1666`): ``comp_rgb, comp_normal,
-        opacity, depth, rays_valid, ...`` plus ``*_bg`` / ``*_full`` and
-        training loss maps."""
+    def sample_intervals(self, params, statics, frame, cond,
+                         occ: OccGridState, rays_world, rng, step,
+                         flags: RenderFlags, t_idx=0.0):
+        """Stages 1-3: ray transform, occupancy marching, importance rounds.
+
+        Entirely gradient-free (the reference wraps the importance loop in
+        ``torch.no_grad``, `models/intrinsic_avatar.py:1240-1252`), so it can
+        be jit-compiled separately from the differentiated shading stage —
+        keeping each TPU compile unit small.  Returns
+        ``(t_starts, t_ends, smask)`` rectangular ``[R, S]``.
+        """
         sched = self._schedules(step)
         rays = self.deformer.rigid.transform_rays_w2s(frame, rays_world) \
             if hasattr(self.deformer, "rigid") else rays_world
         R = rays.shape[0]
         rays_o, rays_d = rays[:, :3], rays[:, 3:6]
         near, far = rays[:, 6], rays[:, 7]
-        if background_color is None:
-            background_color = jnp.zeros(3)
-
-        k_strat, k_lap, k_jit, k_pbr = jax.random.split(rng, 4)
-        strat_u = (jax.random.uniform(k_strat, (R,))
+        strat_u = (jax.random.uniform(rng, (R,))
                    if flags.randomized else None)
 
         lvl = level_of(occ, t_idx)
@@ -322,8 +322,39 @@ class IntrinsicAvatar:
         if flags.importance_sample:
             iv = self._importance_resample(params, statics, frame, cond,
                                            sched, rays_o, rays_d, iv, step)
+        t_starts, t_ends, smask = intervals_to_samples(iv)
+        return (jax.lax.stop_gradient(t_starts),
+                jax.lax.stop_gradient(t_ends), smask)
 
-        t_starts, t_ends, smask = intervals_to_samples(iv)   # [R, S]
+    def forward(self, params, statics, frame, cond, occ: OccGridState,
+                rays_world, rng, step, flags: RenderFlags,
+                t_idx=0.0, background_color=None, emitter_state=None,
+                intervals=None):
+        """Render a batch of rays.  Returns the output dict of Appendix B
+        (`models/intrinsic_avatar.py:1492-1666`): ``comp_rgb, comp_normal,
+        opacity, depth, rays_valid, ...`` plus ``*_bg`` / ``*_full`` and
+        training loss maps.
+
+        ``intervals`` (from :meth:`sample_intervals`) skips stages 1-3 so
+        the caller can jit the gradient-free sampling separately.
+        """
+        sched = self._schedules(step)
+        rays = self.deformer.rigid.transform_rays_w2s(frame, rays_world) \
+            if hasattr(self.deformer, "rigid") else rays_world
+        R = rays.shape[0]
+        rays_o, rays_d = rays[:, :3], rays[:, 3:6]
+        near, far = rays[:, 6], rays[:, 7]
+        if background_color is None:
+            background_color = jnp.zeros(3)
+
+        k_strat, k_lap, k_jit, k_pbr = jax.random.split(rng, 4)
+        lvl = level_of(occ, t_idx)
+
+        if intervals is None:
+            intervals = self.sample_intervals(
+                params, statics, frame, cond, occ, rays_world, k_strat,
+                step, flags, t_idx)
+        t_starts, t_ends, smask = intervals
         S = t_starts.shape[1]
         mids = 0.5 * (t_starts + t_ends)
         dists = t_ends - t_starts

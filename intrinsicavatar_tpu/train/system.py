@@ -227,11 +227,16 @@ class IntrinsicAvatarSystem:
     # ------------------------------------------------------------ steps
 
     def train_step_impl(self, state: TrainState, batch, t_idx,
-                        flags: RenderFlags):
+                        flags: RenderFlags, intervals=None):
         """One optimization step (pure, unjitted body).  ``batch`` carries
         rays + SMPL params + targets; ``flags`` is static.  Wrapped by the
         single-chip ``train_step`` jit and by
-        ``parallel.sharding.make_sharded_train_step`` for device meshes."""
+        ``parallel.sharding.make_sharded_train_step`` for device meshes.
+
+        ``intervals`` (from :meth:`sample_step`) skips the gradient-free
+        marching/importance stages inside the differentiated region, halving
+        the compile unit (the TPU fusion pass struggles on the monolithic
+        graph)."""
         rng, k_bg, k_fwd = jax.random.split(state.rng, 3)
         step = state.step
 
@@ -253,7 +258,8 @@ class IntrinsicAvatarSystem:
                                              step)
             out = self.model.forward(
                 params, self.statics, frame, cond, state.occ, batch["rays"],
-                k_fwd, step, flags, t_idx=t_idx, background_color=bg)
+                k_fwd, step, flags, t_idx=t_idx, background_color=bg,
+                intervals=intervals)
             loss, losses = self.compute_losses(params, out, batch, step,
                                                flags)
             return loss, (losses, out)
@@ -268,9 +274,27 @@ class IntrinsicAvatarSystem:
         return new_state, losses
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
+    def sample_step(self, state: TrainState, batch, t_idx,
+                    flags: RenderFlags):
+        """Gradient-free marching + importance rounds as its own jit."""
+        _, _, k_fwd = jax.random.split(state.rng, 3)
+        k_strat = jax.random.split(k_fwd, 4)[0]
+        frame, cond = self.model.prepare(state.params, self.statics, batch,
+                                         state.step)
+        return self.model.sample_intervals(
+            state.params, self.statics, frame, cond, state.occ,
+            batch["rays"], k_strat, state.step, flags, t_idx)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def train_step_jit(self, state: TrainState, batch, t_idx,
+                       flags: RenderFlags, intervals=None):
+        return self.train_step_impl(state, batch, t_idx, flags, intervals)
+
     def train_step(self, state: TrainState, batch, t_idx,
                    flags: RenderFlags):
-        return self.train_step_impl(state, batch, t_idx, flags)
+        """Two-jit step: sampling (no grad) then shading+optimize."""
+        intervals = self.sample_step(state, batch, t_idx, flags)
+        return self.train_step_jit(state, batch, t_idx, flags, intervals)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def occ_update_step(self, state: TrainState, batch, t_idx):
