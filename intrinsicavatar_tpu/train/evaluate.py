@@ -47,8 +47,23 @@ def build_test_occ_grid(system, params, batch, step, key, resolution=64):
 def render_frame(system, params, batch, step, key, flags: RenderFlags,
                  ray_chunk: int = 4096, occ=None, frame=None, cond=None,
                  emitter_state=None):
-    """Chunked full-frame render; returns stitched output maps (numpy)."""
+    """Chunked full-frame render; returns stitched output maps (numpy).
+
+    When the batch carries a test HDRI, the emitter base is replaced and its
+    sampling tables rebuilt — the relighting protocol
+    (`models/intrinsic_avatar.py:292-305`); callers should pass
+    ``render_mode='light'`` flags for relighting evaluation.
+    """
     model = system.model
+    if "hdri" in batch:
+        params = dict(params)
+        params["emitter"] = {**params["emitter"],
+                             "base": jnp.asarray(batch["hdri"])}
+        if flags.enable_phys and emitter_state is None:
+            emitter_state = jax.tree.map(
+                jax.lax.stop_gradient,
+                model.emitter.update_pdf(params["emitter"]))
+        batch = {k: v for k, v in batch.items() if k != "hdri"}
     if occ is None:
         key, k_occ = jax.random.split(key)
         occ, frame, cond = build_test_occ_grid(system, params, batch, step,

@@ -171,6 +171,21 @@ class IntrinsicAvatarSystem:
             losses["curvature"] = _masked_mean(lap, smask)
             loss += losses["curvature"] * C(L.lambda_curvature, step)
 
+        dist_spec = L.get("lambda_distortion", 0.0)
+        if isinstance(dist_spec, (int, float)):
+            dist_on = float(dist_spec) != 0.0
+        else:
+            vals = list(dist_spec)
+            vals = vals[0:2] if len(vals) == 3 else vals[1:3]
+            dist_on = any(float(v) != 0.0 for v in vals)
+        if dist_on:
+            from intrinsicavatar_tpu.ops.volrend import distortion_loss
+            mids = out["points"]
+            half = out["intervals"] / 2.0
+            losses["distortion"] = distortion_loss(
+                out["weights"], mids - half, mids + half, smask)
+            loss += losses["distortion"] * C(L.lambda_distortion, step)
+
         # model regularizations (`models/*/regularizations`)
         losses["lipshitz_bound"] = self.model.material.lipschitz_bound(
             params["material"])
