@@ -96,6 +96,27 @@ class VolumeSDF:
     def sdf(self, params, x, level_mask=None):
         return self.features(params, x, level_mask)[..., 0]
 
+    def _point_grad(self, params, x, level_mask):
+        """Analytic SDF gradient wrt input points.
+
+        ``grad_type='analytic'`` uses reverse mode (one VJP, like the
+        reference's torch autograd); ``'analytic_fwd'`` uses three JVPs —
+        forward mode makes the training loss's differentiation of the
+        gradient *reverse-over-forward* instead of reverse-over-reverse,
+        which the TPU backend handles much better (second-order
+        reverse-over-reverse through the hash-grid gathers trips the XLA:TPU
+        fusion pass).
+        """
+        if self.config.get("grad_type", "analytic") == "analytic_fwd":
+            f = lambda p: self.sdf(params, p, level_mask)
+            comps = []
+            for i in range(3):
+                tangent = jnp.zeros_like(x).at[:, i].set(1.0)
+                _, gi = jax.jvp(f, (x,), (tangent,))
+                comps.append(gi)
+            return jnp.stack(comps, axis=-1)
+        return jax.grad(lambda p: jnp.sum(self.sdf(params, p, level_mask)))(x)
+
     def sdf_grad_feature(self, params, x, level_mask=None,
                          with_laplace: bool = False, rng: jax.Array | None = None):
         """Returns ``(sdf, grad, feature[, laplace])``.
@@ -107,10 +128,7 @@ class VolumeSDF:
         """
         feat = self.features(params, x, level_mask)
         sdf = feat[..., 0]
-
-        grad = jax.grad(
-            lambda p: jnp.sum(self.sdf(params, p, level_mask))
-        )(x)
+        grad = self._point_grad(params, x, level_mask)
 
         if not with_laplace:
             return sdf, grad, feat
@@ -123,9 +141,7 @@ class VolumeSDF:
         normal = safe_normalize(grad)
         tangent = jnp.cross(normal, rand_dirs)
         x_d = x + eps * tangent
-        grad_d = jax.grad(
-            lambda p: jnp.sum(self.sdf(params, p, level_mask))
-        )(x_d)
+        grad_d = self._point_grad(params, x_d, level_mask)
         dot = jnp.sum(safe_normalize(grad) * safe_normalize(grad_d), axis=-1)
         angle = jnp.arccos(jnp.clip(dot, -1.0 + 1e-6, 1.0 - 1e-6))
         laplace = angle / jnp.pi
