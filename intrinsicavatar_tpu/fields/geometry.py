@@ -117,17 +117,44 @@ class VolumeSDF:
             return jnp.stack(comps, axis=-1)
         return jax.grad(lambda p: jnp.sum(self.sdf(params, p, level_mask)))(x)
 
+    def _fd_eps(self):
+        """Finite-difference step: fixed or 'progressive' (a cell of the
+        finest *unlocked* hash level, `models/rf/geometry.py:246-258`).
+        Progressive eps is resolved at the full-band level statically."""
+        eps = self.config.get("finite_difference_eps", 1e-3)
+        if eps == "progressive":
+            grid_res = self.spec.base_resolution * (
+                self.spec.per_level_scale ** (self.spec.n_levels - 1))
+            return float(np.max(self.scale) / grid_res)
+        return float(eps)
+
     def sdf_grad_feature(self, params, x, level_mask=None,
                          with_laplace: bool = False, rng: jax.Array | None = None):
         """Returns ``(sdf, grad, feature[, laplace])``.
 
-        ``grad`` is the analytic SDF gradient wrt the input points; when
-        ``with_laplace``, also returns the PermutoSDF curvature proxy: the
-        angle (normalized by pi) between normals at ``x`` and at a random
-        tangent perturbation ``x + 1e-4 * t``.
+        ``grad`` is the SDF gradient wrt the input points — analytic
+        (reverse or forward mode) or central finite differences
+        (``grad_type='finite_difference'``, 6 taps; keeps the training
+        loss's backward pass first-order, which the XLA:TPU backend needs);
+        when ``with_laplace``, also returns the PermutoSDF curvature proxy:
+        the angle (normalized by pi) between normals at ``x`` and at a
+        random tangent perturbation ``x + 1e-4 * t``.
         """
         feat = self.features(params, x, level_mask)
         sdf = feat[..., 0]
+        if self.config.get("grad_type", "analytic") == "finite_difference":
+            eps = self._fd_eps()
+            N = x.shape[0]
+            offs = jnp.concatenate([jnp.eye(3), -jnp.eye(3)]) * eps  # [6,3]
+            xd = (x[:, None, :] + offs[None]).reshape(-1, 3)
+            sd = self.sdf(params, xd, level_mask).reshape(N, 6)
+            grad = (sd[:, :3] - sd[:, 3:]) / (2.0 * eps)
+            if with_laplace:
+                lap_fd = (jnp.sum(sd, -1) - 6.0 * sdf) / eps**2
+                # keep the same output contract; FD mode uses the true
+                # Laplacian instead of the tangent-angle proxy
+                return sdf, grad, feat, lap_fd
+            return sdf, grad, feat
         grad = self._point_grad(params, x, level_mask)
 
         if not with_laplace:
