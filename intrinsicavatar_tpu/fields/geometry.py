@@ -107,7 +107,8 @@ class VolumeSDF:
         reverse-over-reverse through the hash-grid gathers trips the XLA:TPU
         fusion pass).
         """
-        if self.config.get("grad_type", "analytic") == "analytic_fwd":
+        mode = self.config.get("grad_type", "analytic")
+        if mode == "analytic_fwd":
             f = lambda p: self.sdf(params, p, level_mask)
             comps = []
             for i in range(3):
@@ -115,6 +116,21 @@ class VolumeSDF:
                 _, gi = jax.jvp(f, (x,), (tangent,))
                 comps.append(gi)
             return jnp.stack(comps, axis=-1)
+        if mode == "analytic":
+            # chain rule with a *manual* MLP backward: d sdf/dx =
+            # (d enc/dx)^T (d sdf/d enc).  The MLP input-gradient is written
+            # as explicit first-order matmuls (see
+            # VanillaMLP.value_and_input_grad) and only the encode pullback
+            # uses jax.vjp — the XLA:TPU backend crashes on grad-of-grad
+            # through MLP matmuls but handles it through the encode.
+            def encode(p):
+                xn = self._normalize(p)
+                return hashgrid_encode(params["table"], xn, self.spec,
+                                       level_mask)
+
+            enc, enc_vjp = jax.vjp(encode, x)
+            _, g_enc = self.mlp.value_and_input_grad(params["mlp"], enc)
+            return enc_vjp(g_enc)[0]
         return jax.grad(lambda p: jnp.sum(self.sdf(params, p, level_mask)))(x)
 
     def _fd_eps(self):

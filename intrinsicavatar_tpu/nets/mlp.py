@@ -105,6 +105,48 @@ class VanillaMLP:
                 x = act(x)
         return self.output_activation(x)
 
+    def _effective_w(self, p):
+        if self.weight_norm:
+            v = p["v"]
+            norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+            return p["g"] * v / jnp.maximum(norm, 1e-12)
+        return p["w"]
+
+    def value_and_input_grad(self, params, x, out_channel: int = 0):
+        """Forward pass + d out[..., out_channel] / d input by *manual*
+        backprop (explicit matmuls/elementwise, no jax.grad).
+
+        The XLA:TPU backend miscompiles (SIGILL in the fusion cost model)
+        the double-transposed dot_generals that jax's grad-of-grad emits
+        when a training loss differentiates through an inner ``jax.grad`` of
+        an MLP; writing the input-gradient as a first-order expression
+        avoids the pattern entirely.  Assumes no output activation on
+        channel ``out_channel`` (true for the SDF head).
+
+        Returns ``(out [N, dim_out], grad [N, dim_in])``.
+        """
+        act = _softplus100 if self.sphere_init else jax.nn.relu
+        n = len(params)
+        ws = [self._effective_w(p) for p in params]
+        z = x
+        pre = []
+        for i in range(n - 1):
+            h = z @ ws[i] + params[i]["b"]
+            pre.append(h)
+            z = act(h)
+        out = z @ ws[-1] + params[-1]["b"]
+
+        # reverse pass for channel `out_channel`
+        g = jnp.broadcast_to(ws[-1][:, out_channel][None, :],
+                             (x.shape[0], ws[-1].shape[0]))
+        for i in range(n - 2, -1, -1):
+            if self.sphere_init:
+                dact = jax.nn.sigmoid(100.0 * pre[i])
+            else:
+                dact = (pre[i] > 0).astype(x.dtype)
+            g = (g * dact) @ ws[i].T
+        return self.output_activation(out), g
+
 
 class VanillaCondMLP:
     """Skip + conditional-input MLP (`models/network_utils.py:247-357`).
