@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from intrinsicavatar_tpu.registry import register, make
-from intrinsicavatar_tpu.ops.math import rigid_inverse, rodrigues, safe_normalize
+from intrinsicavatar_tpu.ops.math import (rigid_inverse, rodrigues, safe_normalize, vec3_components)
 from intrinsicavatar_tpu.anim import smpl as smpl_mod
 from intrinsicavatar_tpu.anim.smpl import (
     BodyModel, smpl_forward, get_predefined_rest_pose, get_bbox_from_verts,
@@ -287,7 +287,8 @@ class FastSNARF:
                jnp.min(sdf, axis=-1),
                jnp.any(valid_flat.reshape(N, K), axis=-1)]
         if len(ret) > 1:
-            gx, gy, gz = ret[1][:, 0], ret[1][:, 1], ret[1][:, 2]
+            # pad-free component extraction (grad carries gradients)
+            gx, gy, gz = vec3_components(ret[1])
             if j_inv_nr is not None:
                 # chain the non-rigid inverse Jacobian: c2w <- c2w @ J_nr
                 nr = [j_inv_nr[:, a, b] for a in range(3) for b in range(3)]

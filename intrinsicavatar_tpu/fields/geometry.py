@@ -17,10 +17,10 @@ import numpy as np
 from intrinsicavatar_tpu.registry import register
 from intrinsicavatar_tpu.nets.mlp import make_mlp
 from intrinsicavatar_tpu.ops.hashgrid import (
-    HashGridSpec, hashgrid_encode, init_hashgrid,
+    HashGridSpec, hashgrid_encode, hashgrid_encode_vjp_x, init_hashgrid,
 )
 from intrinsicavatar_tpu.ops.encoding import hashgrid_level_mask
-from intrinsicavatar_tpu.ops.math import safe_normalize
+from intrinsicavatar_tpu.ops.math import (safe_normalize, take_channel, cross3)
 
 
 def hashgrid_spec_from_config(cfg) -> HashGridSpec:
@@ -90,11 +90,15 @@ class VolumeSDF:
         enc = hashgrid_encode(params["table"], xn, self.spec, level_mask)
         out = self.mlp(params["mlp"], enc)
         if self.sdf_bias:
-            out = out.at[..., 0].add(self.sdf_bias)
+            bias = np.zeros(self.feature_dim, np.float32)
+            bias[0] = self.sdf_bias
+            out = out + jnp.asarray(bias)
         return out
 
     def sdf(self, params, x, level_mask=None):
-        return self.features(params, x, level_mask)[..., 0]
+        # channel extraction via one-hot dot: slice-backward pads crash the
+        # TPU fusion pass (ops.math.take_channel)
+        return take_channel(self.features(params, x, level_mask), 0)
 
     def _point_grad(self, params, x, level_mask):
         """Analytic SDF gradient wrt input points.
@@ -117,20 +121,19 @@ class VolumeSDF:
                 comps.append(gi)
             return jnp.stack(comps, axis=-1)
         if mode == "analytic":
-            # chain rule with a *manual* MLP backward: d sdf/dx =
-            # (d enc/dx)^T (d sdf/d enc).  The MLP input-gradient is written
-            # as explicit first-order matmuls (see
-            # VanillaMLP.value_and_input_grad) and only the encode pullback
-            # uses jax.vjp — the XLA:TPU backend crashes on grad-of-grad
-            # through MLP matmuls but handles it through the encode.
-            def encode(p):
-                xn = self._normalize(p)
-                return hashgrid_encode(params["table"], xn, self.spec,
-                                       level_mask)
-
-            enc, enc_vjp = jax.vjp(encode, x)
+            # Fully explicit chain rule: d sdf/dx = (dEnc/dx)^T (d sdf/dEnc)
+            # with BOTH factors written as first-order expressions — manual
+            # MLP backprop (VanillaMLP.value_and_input_grad) and the
+            # closed-form trilerp pullback (hashgrid_encode_vjp_x).  Any
+            # jax-generated grad-of-grad through this chain SIGILLs the
+            # XLA:TPU fusion pass (see repo memory / round-1 bisection).
+            xn = self._normalize(x)
+            enc = hashgrid_encode(params["table"], xn, self.spec, level_mask)
             _, g_enc = self.mlp.value_and_input_grad(params["mlp"], enc)
-            return enc_vjp(g_enc)[0]
+            grad_n = hashgrid_encode_vjp_x(params["table"], xn, self.spec,
+                                           g_enc, level_mask)
+            # chain d xn/dx = 1/scale per axis
+            return grad_n / jnp.asarray(self.scale)[None, :]
         return jax.grad(lambda p: jnp.sum(self.sdf(params, p, level_mask)))(x)
 
     def _fd_eps(self):
@@ -157,7 +160,7 @@ class VolumeSDF:
         random tangent perturbation ``x + 1e-4 * t``.
         """
         feat = self.features(params, x, level_mask)
-        sdf = feat[..., 0]
+        sdf = take_channel(feat, 0)
         if self.config.get("grad_type", "analytic") == "finite_difference":
             eps = self._fd_eps()
             N = x.shape[0]
@@ -182,7 +185,7 @@ class VolumeSDF:
         rand_dirs = jax.random.uniform(rng, x.shape, dtype=x.dtype)
         rand_dirs = safe_normalize(rand_dirs)
         normal = safe_normalize(grad)
-        tangent = jnp.cross(normal, rand_dirs)
+        tangent = cross3(normal, rand_dirs)
         x_d = x + eps * tangent
         grad_d = self._point_grad(params, x_d, level_mask)
         dot = jnp.sum(safe_normalize(grad) * safe_normalize(grad_d), axis=-1)

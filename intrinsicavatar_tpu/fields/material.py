@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from intrinsicavatar_tpu.registry import register
 from intrinsicavatar_tpu.nets.mlp import make_mlp, LipschitzMLP
-from intrinsicavatar_tpu.ops.math import get_activation
+from intrinsicavatar_tpu.ops.math import get_activation, split_channels
 
 
 @register("volume-material")
@@ -40,9 +40,13 @@ class VolumeMaterial:
     def __call__(self, params, features):
         """``[N, F] -> [N, n_output_dims]`` = (albedo*3, roughness, metallic*k)."""
         raw = self.activation(self.mlp(params["mlp"], features))
-        albedo = raw[..., :3] * self.albedo_scale + self.albedo_bias
-        roughness = raw[..., 3:4] * self.roughness_scale + self.roughness_bias
-        metallic = raw[..., 4:] * self.metallic_scale + self.metallic_bias
+        # selector-matmul split: slice backwards (pads) crash the TPU
+        # fusion pass (ops.math.split_channels)
+        a_raw, r_raw, m_raw = split_channels(
+            raw, [3, 1, self.n_output_dims - 4])
+        albedo = a_raw * self.albedo_scale + self.albedo_bias
+        roughness = r_raw * self.roughness_scale + self.roughness_bias
+        metallic = m_raw * self.metallic_scale + self.metallic_bias
         return jnp.concatenate([albedo, roughness, metallic], axis=-1)
 
     def lipschitz_bound(self, params):

@@ -107,7 +107,8 @@ def spherical_harmonics(dirs: jax.Array, degree: int = 4) -> jax.Array:
     directions directly.  Component order is (l ascending, m from -l to l),
     matching the ``sh_mask`` band layout of `models/rf/radiance.py:146-155`.
     """
-    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    from intrinsicavatar_tpu.ops.math import vec3_components
+    x, y, z = vec3_components(dirs)   # pad-free: dirs may carry gradients
     xx, yy, zz = x * x, y * y, z * z
     xy, yz, xz = x * y, y * z, x * z
     comps = [jnp.full_like(x, 0.28209479177387814)]

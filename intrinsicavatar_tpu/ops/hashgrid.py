@@ -103,12 +103,17 @@ def hashgrid_encode(
     res = jnp.asarray(spec.resolutions, jnp.int32)        # [L]
     dense = jnp.asarray(spec.dense_levels)                # [L] bool
 
-    # TPU layout note: all per-corner work is kept in [N, L]-shaped (or
-    # flat [N*L*F]) arrays — never [N, L, 8, F] — because minor dims of
-    # 2/3/8 pad to 128 lanes on TPU (observed 16-64x HBM expansion).
-    px = x[:, 0:1] * scales[None, :] + 0.5                # [N,L]
-    py = x[:, 1:2] * scales[None, :] + 0.5
-    pz = x[:, 2:3] * scales[None, :] + 0.5
+    # TPU layout notes: (a) all per-corner work is kept in [N, L]-shaped
+    # (or flat [N*L*F]) arrays — never [N, L, 8, F] — because minor dims of
+    # 2/3/8 pad to 128 lanes on TPU (observed 16-64x HBM expansion);
+    # (b) x may carry gradients, so components come from one-hot
+    # contractions, not slices (slice-backward pads SIGILL the TPU fusion
+    # pass — see ops.math.take_channel).
+    from intrinsicavatar_tpu.ops.math import vec3_components
+    xx, xy, xz = vec3_components(x)
+    px = xx[:, None] * scales[None, :] + 0.5              # [N,L]
+    py = xy[:, None] * scales[None, :] + 0.5
+    pz = xz[:, None] * scales[None, :] + 0.5
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
     z0 = jnp.floor(pz)
@@ -148,4 +153,94 @@ def hashgrid_encode(
         out = out * level_mask[None, :]
     if spec.include_xyz:
         out = jnp.concatenate([x * spec.xyz_scale + spec.xyz_offset, out], -1)
+    return out
+
+
+def hashgrid_encode_vjp_x(
+    table: jax.Array,
+    x: jax.Array,
+    spec: HashGridSpec,
+    g: jax.Array,
+    level_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Closed-form ``(dEnc/dx)^T g`` — the encode's input pullback without
+    autodiff.
+
+    The trilinear weight of corner ``(dx,dy,dz)`` is ``wx*wy*wz`` with
+    ``wx = fx`` or ``1-fx``; its x-derivative is ``(+-scale_l) * wy * wz``.
+    Contracted on the fly with the cotangent ``g [N, n_output_dims]``
+    (ordered ``[xyz?, L*F]`` like :func:`hashgrid_encode`).
+
+    Exists so the SDF point gradient is an explicit first-order graph: the
+    XLA:TPU fusion pass SIGILLs when jax's vjp-of-encode fuses with the MLP
+    backward (see fields/geometry.py).
+    """
+    N = x.shape[0]
+    L, T, F = table.shape
+    scales = jnp.asarray(spec.scales, x.dtype)
+    res = jnp.asarray(spec.resolutions, jnp.int32)
+    dense = jnp.asarray(spec.dense_levels)
+
+    if spec.include_xyz:
+        from intrinsicavatar_tpu.ops.math import split_channels
+        g_xyz, g = split_channels(g, [3, L * F])
+    if level_mask is not None:
+        g = g * level_mask[None, :]
+
+    from intrinsicavatar_tpu.ops.math import vec3_components
+    xx, xy, xz = vec3_components(x)
+    px = xx[:, None] * scales[None, :] + 0.5
+    py = xy[:, None] * scales[None, :] + 0.5
+    pz = xz[:, None] * scales[None, :] + 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    z0 = jnp.floor(pz)
+    fx, fy, fz = px - x0, py - y0, pz - z0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    z0 = z0.astype(jnp.int32)
+
+    level_base = (jnp.arange(L, dtype=jnp.int32) * T)[None, :]
+    table_flat = table.reshape(L * T * F)
+    farange = jnp.arange(F, dtype=jnp.int32)
+
+    gx = jnp.zeros((N, L), x.dtype)
+    gy = jnp.zeros((N, L), x.dtype)
+    gz = jnp.zeros((N, L), x.dtype)
+    for dx in (0, 1):
+        wx = fx if dx else 1.0 - fx
+        sx = 1.0 if dx else -1.0
+        for dy in (0, 1):
+            wy = fy if dy else 1.0 - fy
+            sy = 1.0 if dy else -1.0
+            for dz in (0, 1):
+                wz = fz if dz else 1.0 - fz
+                sz = 1.0 if dz else -1.0
+                cx = jnp.clip(x0 + dx, 0, res - 1)
+                cy = jnp.clip(y0 + dy, 0, res - 1)
+                cz = jnp.clip(z0 + dz, 0, res - 1)
+                dense_idx = cx + cy * res + cz * res * res
+                h = (cx.astype(jnp.uint32) * np.uint32(_PRIMES[0])
+                     ^ cy.astype(jnp.uint32) * np.uint32(_PRIMES[1])
+                     ^ cz.astype(jnp.uint32) * np.uint32(_PRIMES[2]))
+                hash_idx = (h & np.uint32(T - 1)).astype(jnp.int32)
+                idx = jnp.where(dense[None, :], dense_idx % T, hash_idx)
+                flat = (jnp.repeat((idx + level_base) * F, F, axis=1)
+                        + jnp.tile(farange, L)[None, :])
+                feats = jnp.take(table_flat, flat.reshape(-1),
+                                 axis=0).reshape(N, L * F)
+                # per-level contraction of cotangent with corner features
+                fg = (feats * g).reshape(N, L, F).sum(-1)     # [N, L]
+                gx = gx + fg * (sx * wy * wz)
+                gy = gy + fg * (wx * sy * wz)
+                gz = gz + fg * (wx * wy * sz)
+
+    # chain the input scaling: d pos/d x = scale_l (per level)
+    out = jnp.stack([
+        jnp.sum(gx * scales[None, :], -1),
+        jnp.sum(gy * scales[None, :], -1),
+        jnp.sum(gz * scales[None, :], -1),
+    ], axis=-1)
+    if spec.include_xyz:
+        out = out + g_xyz * spec.xyz_scale
     return out

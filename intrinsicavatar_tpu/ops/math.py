@@ -9,6 +9,59 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Pad-free channel access.
+#
+# The XLA:TPU backend in this environment SIGILLs (fusion cost model) when
+# the *backward* of a trailing-dim slice — a `pad` op — fuses with
+# matmul/gather backwards.  On any tensor that carries gradients, extract or
+# split channels with these one-hot/selector contractions instead of
+# slicing: `x @ e_i` is mathematically identical to `x[..., i]` but its
+# backward is a broadcast multiply, not a pad.  (Round-1 bisection:
+# `mean(mlp(enc)[..., 0])` crashes the compiler; `mean(mlp(enc) @ e0)` is
+# fine.)  Slices of non-differentiated tensors are unaffected.
+# ---------------------------------------------------------------------------
+
+def take_channel(x: "jax.Array", i: int) -> "jax.Array":
+    """``x[..., i]`` without a slice: one-hot contraction (pad-free VJP)."""
+    C = x.shape[-1]
+    e = np.zeros((C,), np.float32)
+    e[i] = 1.0
+    return x @ jnp.asarray(e, x.dtype)
+
+
+def split_channels(x: "jax.Array", sizes) -> list:
+    """Split the trailing dim into chunks via selector matmuls (pad-free VJP).
+
+    ``split_channels(x, [3, 1, 1])`` == ``[x[..., :3], x[..., 3:4],
+    x[..., 4:5]]`` with safe backward.
+    """
+    C = x.shape[-1]
+    outs = []
+    o = 0
+    for s in sizes:
+        S = np.zeros((C, s), np.float32)
+        S[o:o + s] = np.eye(s, dtype=np.float32)
+        outs.append(x @ jnp.asarray(S, x.dtype))
+        o += s
+    return outs
+
+
+def vec3_components(v: "jax.Array"):
+    """``(v_x, v_y, v_z)`` of a differentiated ``[..., 3]`` without slices."""
+    return take_channel(v, 0), take_channel(v, 1), take_channel(v, 2)
+
+
+def cross3(a: "jax.Array", b: "jax.Array") -> "jax.Array":
+    """Pad-free cross product of ``[..., 3]`` vectors (jnp.cross slices)."""
+    ax, ay, az = vec3_components(a)
+    bx, by, bz = vec3_components(b)
+    return jnp.stack([ay * bz - az * by,
+                      az * bx - ax * bz,
+                      ax * by - ay * bx], axis=-1)
 
 
 # ---------------------------------------------------------------------------

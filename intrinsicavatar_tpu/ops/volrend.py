@@ -44,12 +44,18 @@ def alpha_from_sdf(sdf: jax.Array, dists: jax.Array, beta: jax.Array) -> jax.Arr
 
 
 def exclusive_prod(x: jax.Array, axis: int = -1) -> jax.Array:
-    """Exclusive cumulative product along ``axis`` (first element = 1)."""
+    """Exclusive cumulative product along ``axis`` (first element = 1).
+
+    Shift by roll + masked overwrite instead of slice+concat: the
+    slice-backward pad on a differentiated minor dim crashes the TPU
+    fusion pass (see ops.math.take_channel).
+    """
     p = jnp.cumprod(x, axis=axis)
-    one = jnp.ones_like(jnp.take(p, jnp.array([0]), axis=axis))
-    return jnp.concatenate(
-        [one, jax.lax.slice_in_dim(p, 0, x.shape[axis] - 1, axis=axis)], axis=axis
-    )
+    rolled = jnp.roll(p, 1, axis=axis)
+    n = x.shape[axis]
+    first = jax.lax.broadcasted_iota(
+        jnp.int32, x.shape, axis % x.ndim) == 0
+    return jnp.where(first, jnp.ones_like(p), rolled)
 
 
 def render_weight_from_alpha(

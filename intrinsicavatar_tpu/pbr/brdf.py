@@ -30,25 +30,29 @@ import jax
 import jax.numpy as jnp
 
 from intrinsicavatar_tpu.registry import register
-from intrinsicavatar_tpu.ops.math import dot, reflect, safe_normalize
+from intrinsicavatar_tpu.ops.math import (dot, reflect, safe_normalize, vec3_components)
 
 EPS = 1e-7
 
 
 def _onb(n: jax.Array):
-    """Orthonormal basis (t, b) around unit normals n (Frisvad)."""
-    sign = jnp.where(n[..., 2:3] >= 0.0, 1.0, -1.0)
-    a = -1.0 / (sign + n[..., 2:3])
-    b = n[..., 0:1] * n[..., 1:2] * a
-    t = jnp.concatenate(
-        [1.0 + sign * n[..., 0:1] ** 2 * a, sign * b, -sign * n[..., 0:1]], -1)
-    bt = jnp.concatenate([b, sign + n[..., 1:2] ** 2 * a, -n[..., 1:2]], -1)
+    """Orthonormal basis (t, b) around unit normals n (Frisvad).
+
+    Components via one-hot dots: n is differentiated (predicted normals)
+    and slice-backward pads crash the TPU fusion pass."""
+    nx, ny, nz = (c[..., None] for c in vec3_components(n))
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    t = jnp.concatenate([1.0 + sign * nx**2 * a, sign * b, -sign * nx], -1)
+    bt = jnp.concatenate([b, sign + ny**2 * a, -ny], -1)
     return t, bt
 
 
 def _to_world(n, local):
     t, b = _onb(n)
-    return (local[..., 0:1] * t + local[..., 1:2] * b + local[..., 2:3] * n)
+    lx, ly, lz = (c[..., None] for c in vec3_components(local))
+    return lx * t + ly * b + lz * n
 
 
 def _cosine_sample(key, n):

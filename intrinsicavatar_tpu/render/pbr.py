@@ -71,12 +71,15 @@ def sample_volume_interaction(model, rays_o, rays_d, t_starts, t_ends, smask,
     gather = lambda a: jnp.take_along_axis(
         a, idx[..., None] if a.ndim == 3 else idx, axis=1)
     positions = rays_o[:, None, :] + rays_d[:, None, :] * out.ts[..., None]
+    from intrinsicavatar_tpu.ops.math import split_channels
+    m_alb, m_rough, m_metal = split_channels(
+        mats, [3, 1, mats.shape[-1] - 4])   # pad-free (mats carry grads)
     return VolumeInteractions(
         positions=positions,
         normals=gather(normals),
-        albedo=gather(mats[..., :3]),
-        roughness=gather(mats[..., 3:4]),
-        metallic=gather(mats[..., 4:]),
+        albedo=gather(m_alb),
+        roughness=gather(m_rough),
+        metallic=gather(m_metal),
         weights=w,
         is_bg=is_bg,
         valid=valid,

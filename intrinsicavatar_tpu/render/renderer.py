@@ -32,7 +32,7 @@ from intrinsicavatar_tpu.ops import resample as RS
 from intrinsicavatar_tpu.ops.grid_traversal import (
     RayIntervals, occupancy_sampling, intervals_to_samples,
 )
-from intrinsicavatar_tpu.ops.math import safe_normalize, linear_to_srgb
+from intrinsicavatar_tpu.ops.math import (safe_normalize, linear_to_srgb, take_channel, split_channels)
 from intrinsicavatar_tpu.render.occupancy import OccGridState, level_of
 
 
@@ -143,7 +143,8 @@ class IntrinsicAvatar:
         geo = self.geometry
         if not with_grad:
             out = geo.features(params["geometry"], x, sched["geo_mask"])
-            return (out[..., 0],) if not with_feature else (out[..., 0], out)
+            sdf = take_channel(out, 0)
+            return (sdf,) if not with_feature else (sdf, out)
         if with_laplace:
             sdf, grad, feat, lap = geo.sdf_grad_feature(
                 params["geometry"], x, sched["geo_mask"], with_laplace=True,
@@ -432,9 +433,11 @@ class IntrinsicAvatar:
 
         if flags.enable_phys:
             m = mats.reshape(R, S, -1)
-            albedo_map = V.accumulate_along_rays(weights, m[..., :3], smask)
-            roughness_map = V.accumulate_along_rays(weights, m[..., 3:4], smask)
-            metallic_map = V.accumulate_along_rays(weights, m[..., 4:], smask)
+            m_alb, m_rough, m_metal = split_channels(
+                m, [3, 1, m.shape[-1] - 4])
+            albedo_map = V.accumulate_along_rays(weights, m_alb, smask)
+            roughness_map = V.accumulate_along_rays(weights, m_rough, smask)
+            metallic_map = V.accumulate_along_rays(weights, m_metal, smask)
             out_dict.update({
                 "comp_albedo": albedo_map,
                 "comp_roughness": roughness_map,
@@ -470,16 +473,17 @@ class IntrinsicAvatar:
                     return jnp.sum(((v - vj) / base) ** 2, -1, keepdims=True)
 
                 mj = mats_jitter.reshape(R, S, -1)
-                m = mats.reshape(R, S, -1)
+                mj_alb, mj_rough, mj_metal = split_channels(
+                    mj, [3, 1, mj.shape[-1] - 4])
                 out_dict.update({
                     "normals_orientation_loss_map": V.accumulate_along_rays(
                         weights, orient, smask),
                     "albedo_smoothness_loss_map": V.accumulate_along_rays(
-                        weights, smooth_loss(m[..., :3], mj[..., :3]), smask),
+                        weights, smooth_loss(m_alb, mj_alb), smask),
                     "roughness_smoothness_loss_map": V.accumulate_along_rays(
-                        weights, smooth_loss(m[..., 3:4], mj[..., 3:4]), smask),
+                        weights, smooth_loss(m_rough, mj_rough), smask),
                     "metallic_smoothness_loss_map": V.accumulate_along_rays(
-                        weights, smooth_loss(m[..., 4:], mj[..., 4:]), smask),
+                        weights, smooth_loss(m_metal, mj_metal), smask),
                 })
             else:
                 z = jnp.zeros_like(acc_map)

@@ -150,7 +150,7 @@ class IntrinsicAvatarSystem:
         losses["eikonal"] = _masked_mean((grad_norm - 1.0) ** 2, smask)
         loss += losses["eikonal"] * C(L.lambda_eikonal, step)
 
-        opacity = jnp.clip(out["opacity"][..., 0], 1e-3, 1.0 - 1e-3)
+        opacity = jnp.clip(out["opacity"].reshape(-1), 1e-3, 1.0 - 1e-3)
         if "alpha" in batch:
             alpha = batch["alpha"].astype(opacity.dtype)
             losses["mask_mse"] = jnp.mean((opacity - alpha) ** 2)
