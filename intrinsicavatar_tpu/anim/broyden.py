@@ -109,6 +109,99 @@ def grid_sample_3d(vox: jax.Array, coords: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Corner-packed sampling: one row-gather per point
+# ---------------------------------------------------------------------------
+#
+# XLA:TPU gathers cost per *row*, nearly independent of row width (measured:
+# (1,12)-row gathers cost the same as scalar gathers).  Packing every cell's
+# 2x2x2 neighborhood x C channels into one contiguous row of the table turns
+# the 8 corners x C channels x per-element gathers of trilinear sampling
+# into a single (1, 8*C) row gather per query — ~20x less gather work for
+# the Broyden loop at 8x the (tiny) table memory.
+
+def corner_pack(vox_flat, shape_dhw, padding: str = "zeros") -> jax.Array:
+    """Pack ``[C, D*H*W]`` -> corner-neighborhood rows ``[cells, 8*C]``.
+
+    Row layout: ``packed[cell, corner * C + c]`` with corners ordered by
+    ``(dx, dy, dz)`` bits (dz fastest).  ``border`` bakes the clamped
+    neighbor (coords are pre-clamped, so base cells are always in-grid and
+    cells == D*H*W).  ``zeros`` bakes 0 for out-of-grid corners AND extends
+    the grid by one zero shell on the *low* side of each axis
+    (cells == (D+1)*(H+1)*(W+1)) so base cells straddling the lower boundary
+    stay exact — :func:`grid_sample_packed` indexes the extended grid.
+    """
+    if isinstance(vox_flat, (list, tuple)):
+        vox_flat = jnp.stack([v.reshape(-1) for v in vox_flat])
+    C = vox_flat.shape[0]
+    D, H, W = shape_dhw
+    vox = vox_flat.reshape(C, D, H, W)
+    if padding == "zeros":
+        vox = jnp.pad(vox, ((0, 0), (1, 0), (1, 0), (1, 0)))
+        D, H, W = D + 1, H + 1, W + 1
+    cols = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                v = vox
+                if dz:
+                    shifted = jnp.roll(v, -1, axis=1)
+                    edge = v[:, -1:] if padding == "border" \
+                        else jnp.zeros_like(v[:, -1:])
+                    v = jnp.concatenate([shifted[:, :-1], edge], axis=1)
+                if dy:
+                    shifted = jnp.roll(v, -1, axis=2)
+                    edge = v[:, :, -1:] if padding == "border" \
+                        else jnp.zeros_like(v[:, :, -1:])
+                    v = jnp.concatenate([shifted[:, :, :-1], edge], axis=2)
+                if dx:
+                    shifted = jnp.roll(v, -1, axis=3)
+                    edge = v[:, :, :, -1:] if padding == "border" \
+                        else jnp.zeros_like(v[:, :, :, -1:])
+                    v = jnp.concatenate([shifted[:, :, :, :-1], edge], axis=3)
+                cols.append(v.reshape(C, -1))
+    # [8, C, DHW] -> [DHW, 8*C]
+    return jnp.stack(cols).reshape(8 * C, -1).T
+
+
+def grid_sample_packed(packed: jax.Array, shape_dhw, n_channels: int,
+                       cx, cy, cz, padding: str = "zeros"):
+    """Trilinear sample from a corner-packed table -> tuple of C ``[N]``.
+
+    Semantics identical to :func:`grid_sample_channels`.
+    """
+    D, H, W = shape_dhw
+    C = n_channels
+    x0, y0, z0, fx, fy, fz = _corner_setup(cx, cy, cz, D, H, W, padding)
+    if padding == "zeros":
+        # extended-grid indexing (one zero shell on the low side per axis)
+        cell = ((jnp.clip(z0 + 1, 0, D) * (H + 1) + jnp.clip(y0 + 1, 0, H))
+                * (W + 1) + jnp.clip(x0 + 1, 0, W))
+    else:
+        cell = (jnp.clip(z0, 0, D - 1) * H + jnp.clip(y0, 0, H - 1)) * W \
+            + jnp.clip(x0, 0, W - 1)
+    rows = jnp.take(packed, cell, axis=0)          # [N, 8*C] one gather
+    out = [jnp.zeros_like(cx) for _ in range(C)]
+    k = 0
+    for dx in (0, 1):
+        wx = fx if dx else 1.0 - fx
+        for dy in (0, 1):
+            wy = fy if dy else 1.0 - fy
+            for dz in (0, 1):
+                wz = fz if dz else 1.0 - fz
+                if padding == "border":
+                    w = wx * wy * wz
+                else:
+                    ok = ((x0 + dx >= 0) & (x0 + dx < W)
+                          & (y0 + dy >= 0) & (y0 + dy < H)
+                          & (z0 + dz >= 0) & (z0 + dz < D))
+                    w = jnp.where(ok, wx * wy * wz, 0.0)
+                for c in range(C):
+                    out[c] = out[c] + w * rows[:, k * C + c]
+                k += 1
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
 # Broyden search (SoA)
 # ---------------------------------------------------------------------------
 
@@ -132,28 +225,28 @@ class BroydenResult(NamedTuple):
         return jnp.stack(self.j_inv, axis=-1).reshape(M, 3, 3)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "shape_dhw"))
 def broyden_search(
     xd: jax.Array,          # [M, 3] deformed targets (lane-expanded)
     bone_idx: jax.Array,    # [M] int32 initialization bone per lane
-    voxel_J: jax.Array,     # [12, D, H, W]
+    voxel_J_packed: jax.Array,  # [D*H*W, 96] corner-packed (see corner_pack)
     tfs: jax.Array,         # [24, 4, 4]
     offset: jax.Array,      # [3] grid offset (bbox center)
     scale_kernel: jax.Array,  # [3] = 1/scale with z * ratio
+    shape_dhw=(32, 128, 128),
     cvg_thresh: float = 1e-5,
     dvg_thresh: float = 1e-1,
     max_iters: int = 10,
 ) -> BroydenResult:
-    shape_dhw = voxel_J.shape[1:]
-    vj = [voxel_J[c].reshape(-1) for c in range(12)]
     tx, ty, tz = xd[:, 0], xd[:, 1], xd[:, 2]
     ox, oy, oz = offset[0], offset[1], offset[2]
     skx, sky, skz = scale_kernel[0], scale_kernel[1], scale_kernel[2]
 
     def sample_J(x, y, z):
         """Blended 3x4 transform at canonical (x,y,z): 12-tuple of [M]."""
-        return grid_sample_channels(
-            vj, shape_dhw, skx * (x - ox), sky * (y - oy), skz * (z - oz))
+        return grid_sample_packed(
+            voxel_J_packed, shape_dhw, 12,
+            skx * (x - ox), sky * (y - oy), skz * (z - oz))
 
     def g_of(J, x, y, z):
         g0 = J[0] * x + J[1] * y + J[2] * z + J[3] - tx

@@ -42,8 +42,8 @@ from intrinsicavatar_tpu.anim.lbs_voxel import (
     VoxelSpec, make_voxel_spec, make_weight_voxel, precompute_transform_voxels,
 )
 from intrinsicavatar_tpu.anim.broyden import (
-    INIT_BONES, BroydenResult, broyden_search, filter_duplicates_soa,
-    forward_skinning_soa, grid_sample_3d,
+    INIT_BONES, BroydenResult, broyden_search, corner_pack,
+    filter_duplicates_soa, forward_skinning_soa, grid_sample_packed,
 )
 
 
@@ -52,6 +52,7 @@ class DeformerStatics(NamedTuple):
 
     tfs_inv_t: jax.Array     # [24,4,4] inverse canonical-pose transforms
     lbs_voxel: jax.Array     # [24, D, H, W]
+    lbs_packed: jax.Array    # [D*H*W, 192] corner-packed (border padding)
     vs_template: jax.Array   # [V, 3] canonical-pose vertices
 
 
@@ -61,7 +62,7 @@ class FrameState(NamedTuple):
     tfs: jax.Array           # [24,4,4] canonical -> SMPL-space bone transforms
     w2s: jax.Array           # [4,4] world -> SMPL (pelvis-aligned) transform
     voxel_d: jax.Array       # [3, D, H, W] fwd-skinned voxel positions
-    voxel_J: jax.Array       # [12, D, H, W] blended transform voxel
+    voxel_J_packed: jax.Array  # [D*H*W, 96] corner-packed transform voxel
     vertices: jax.Array      # [V, 3] posed vertices in SMPL space
     joints: jax.Array        # [24, 3] posed joints in SMPL space
     rot_mats: jax.Array      # [1, 24, 9] local joint rotations (root=I)
@@ -119,6 +120,8 @@ class FastSNARF:
         self.statics = DeformerStatics(
             tfs_inv_t=tfs_inv_t,
             lbs_voxel=lbs_voxel,
+            lbs_packed=corner_pack(lbs_voxel.reshape(24, -1),
+                                   self.spec.shape_dhw, "border"),
             vs_template=out.vertices[0],
         )
         self.initialized = True
@@ -152,6 +155,8 @@ class FastSNARF:
         tfs = jnp.einsum("ab,jbc,jcd->jad", w2s, out.A[0], statics.tfs_inv_t)
         voxel_d, voxel_J = precompute_transform_voxels(
             statics.lbs_voxel, tfs, self.spec)
+        voxel_J_packed = corner_pack(voxel_J.reshape(12, -1),
+                                     self.spec.shape_dhw, "zeros")
 
         verts = out.vertices[0] @ w2s[:3, :3].T + w2s[:3, 3]
         joints = out.joints[0] @ w2s[:3, :3].T + w2s[:3, 3]
@@ -162,7 +167,8 @@ class FastSNARF:
         rot_mats = jnp.concatenate(
             [jnp.eye(3)[None], rots], axis=0).reshape(1, 24, 9)
 
-        return FrameState(tfs=tfs, w2s=w2s, voxel_d=voxel_d, voxel_J=voxel_J,
+        return FrameState(tfs=tfs, w2s=w2s, voxel_d=voxel_d,
+                          voxel_J_packed=voxel_J_packed,
                           vertices=verts, joints=joints, rot_mats=rot_mats)
 
     # ---------------------------------------------------------- transforms
@@ -194,9 +200,14 @@ class FastSNARF:
     # ---------------------------------------------------------- queries
 
     def query_weights(self, statics: DeformerStatics, x: jax.Array):
-        """Trilinear LBS weights at canonical points (border padding)."""
+        """Trilinear LBS weights at canonical points (border padding).
+
+        One corner-packed row gather instead of 192 element gathers."""
         nc = self.spec.normalize(x)
-        return grid_sample_3d(statics.lbs_voxel, nc, padding="border")
+        chans = grid_sample_packed(statics.lbs_packed, self.spec.shape_dhw,
+                                   24, nc[:, 0], nc[:, 1], nc[:, 2],
+                                   padding="border")
+        return jnp.stack(chans, axis=-1)
 
     def search(self, frame: FrameState, pts: jax.Array) -> BroydenResult:
         """Broyden root search over the 13 bone inits; all under stop_grad."""
@@ -206,11 +217,12 @@ class FastSNARF:
         bone_idx = jnp.tile(jnp.asarray(INIT_BONES), N)
         res = broyden_search(
             xd, bone_idx,
-            jax.lax.stop_gradient(frame.voxel_J),
+            jax.lax.stop_gradient(frame.voxel_J_packed),
             jax.lax.stop_gradient(frame.tfs),
             jnp.asarray(self.spec.offset),
             jnp.asarray(self.spec.scale_kernel),
-            self.cvg_thresh, self.dvg_thresh,
+            shape_dhw=self.spec.shape_dhw,
+            cvg_thresh=self.cvg_thresh, dvg_thresh=self.dvg_thresh,
         )
         return res
 

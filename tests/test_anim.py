@@ -8,6 +8,7 @@ import pytest
 from intrinsicavatar_tpu.anim import smpl as S
 from intrinsicavatar_tpu.anim import lbs_voxel as LV
 from intrinsicavatar_tpu.anim import broyden as B
+from intrinsicavatar_tpu.anim.broyden import corner_pack
 from intrinsicavatar_tpu.anim.deformer import FastSNARF, SNARFDeformer
 from intrinsicavatar_tpu.anim.pose import (
     PoseCorrection, DummyPoseEncoder, HierarchicalPoseEncoder,
@@ -101,8 +102,10 @@ def posed_setup(body):
     w2s = jnp.linalg.inv(out_p.A[0, 0])
     tfs = jnp.einsum("ab,jbc,jcd->jad", w2s, out_p.A[0], tfs_inv_t)
     voxel_d, voxel_J = LV.precompute_transform_voxels(voxel_w, tfs, spec)
-    return dict(spec=spec, voxel_w=voxel_w, tfs=tfs, voxel_J=voxel_J,
-                verts_cano=out_c.vertices[0])
+    voxel_J_packed = corner_pack(voxel_J.reshape(12, -1), spec.shape_dhw,
+                                 "zeros")
+    return dict(spec=spec, voxel_w=voxel_w, tfs=tfs,
+                voxel_J_packed=voxel_J_packed, verts_cano=out_c.vertices[0])
 
 
 def test_broyden_inverts_forward_skinning(posed_setup, rng):
@@ -120,8 +123,8 @@ def test_broyden_inverts_forward_skinning(posed_setup, rng):
     I = len(B.INIT_BONES)
     res = B.broyden_search(
         jnp.repeat(xd, I, axis=0), jnp.tile(jnp.asarray(B.INIT_BONES), N),
-        posed_setup["voxel_J"], tfs, jnp.asarray(spec.offset),
-        jnp.asarray(spec.scale_kernel),
+        posed_setup["voxel_J_packed"], tfs, jnp.asarray(spec.offset),
+        jnp.asarray(spec.scale_kernel), shape_dhw=spec.shape_dhw,
     )
     valid = np.asarray(res.valid).reshape(N, I)
     xc = np.asarray(res.xc_array()).reshape(N, I, 3)
