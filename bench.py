@@ -21,7 +21,13 @@ import numpy as np
 
 
 def main():
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
     import jax.numpy as jnp
 
     from intrinsicavatar_tpu.train.system import IntrinsicAvatarSystem
@@ -60,16 +66,16 @@ def main():
     state = state._replace(step=jnp.asarray(bench_step, jnp.int32))
     flags = system.flags_for_step(bench_step)
 
-    # warmup / compile
+    # warmup / compile (forcing a real device sync through the tunnel)
     for _ in range(2):
         state, losses = system.train_step(state, batch, 0.0, flags)
-    jax.block_until_ready(state.params)
+    float(losses["total"])
 
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, losses = system.train_step(state, batch, 0.0, flags)
-    jax.block_until_ready(state.params)
+    float(losses["total"])
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_rays * n_iters / dt
