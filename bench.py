@@ -71,7 +71,7 @@ def main():
         state, losses = system.train_step(state, batch, 0.0, flags)
     float(losses["total"])
 
-    n_iters = 10
+    n_iters = 5
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, losses = system.train_step(state, batch, 0.0, flags)
