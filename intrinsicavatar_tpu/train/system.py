@@ -356,12 +356,24 @@ class IntrinsicAvatarSystem:
     # ------------------------------------------------------------ loop
 
     def fit(self, data_iter, state: TrainState, max_steps: int,
-            log_every: int = 100, callback=None, all_frames_fn=None):
+            log_every: int = 100, callback=None, all_frames_fn=None,
+            prefetch: bool = True, logger=None):
         """The training loop (replaces Lightning's trainer.fit).
 
         ``all_frames_fn()`` returns one pose batch per training frame; it is
-        invoked at the occupancy-grid re-init milestones.
+        invoked at the occupancy-grid re-init milestones.  ``prefetch``
+        overlaps host-side batch preparation with device steps; ``logger``
+        is an optional ``utils.logging.MetricLogger``.
         """
+        from intrinsicavatar_tpu.utils.logging import Throughput
+
+        if prefetch:
+            try:
+                from intrinsicavatar_tpu.native import Prefetcher
+                data_iter = Prefetcher(data_iter, depth=4)
+            except Exception:
+                pass
+        tput = Throughput()
         history = []
         for step in range(int(state.step), max_steps):
             batch, t_idx = next(data_iter)
@@ -371,7 +383,14 @@ class IntrinsicAvatarSystem:
                 state = self.occ_update_step(state, batch, t_idx)
             flags = self.flags_for_step(step)
             state, losses = self.train_step(state, batch, t_idx, flags)
-            if callback is not None and step % log_every == 0:
-                callback(step, jax.device_get(losses))
+            tput.tick(int(batch["rays"].shape[0]))
+            if step % log_every == 0:
+                scalars = {k: float(v) for k, v in
+                           jax.device_get(losses).items() if np.ndim(v) == 0}
+                scalars["rays_per_sec"] = tput.rays_per_sec
+                if callback is not None:
+                    callback(step, scalars)
+                if logger is not None:
+                    logger.log(step, scalars)
             history.append(losses)
         return state, history
