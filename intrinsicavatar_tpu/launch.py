@@ -28,6 +28,32 @@ def build_dataset(cfg, split, mode, rng=None):
     return data_mod.make(name, cfg.dataset, split=split, mode=mode, rng=rng)
 
 
+def _snapshot_code(run_dir):
+    """Copy the tracked source tree into <run_dir>/code for reproducibility
+    (role of CodeSnapshotCallback, `utils/callbacks.py:52-77` in the
+    reference). Silently skipped outside a git checkout."""
+    import shutil
+    import subprocess
+
+    try:
+        root = subprocess.run(["git", "rev-parse", "--show-toplevel"],
+                              capture_output=True, text=True,
+                              check=True).stdout.strip()
+        files = subprocess.run(["git", "ls-files"], cwd=root,
+                               capture_output=True, text=True,
+                               check=True).stdout.splitlines()
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return
+    dst_root = os.path.join(run_dir, "code")
+    for rel in files:
+        src = os.path.join(root, rel)
+        if not os.path.isfile(src):
+            continue
+        dst = os.path.join(dst_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy2(src, dst)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default=None)
@@ -35,10 +61,16 @@ def main(argv=None):
                         choices=["train", "validate", "test", "predict"])
     parser.add_argument("--resume", default=None)
     parser.add_argument("--exp-dir", default="exp")
+    parser.add_argument("--platform", default=None,
+                        help="JAX platform override (e.g. cpu); the sandbox "
+                             "pins JAX_PLATFORMS at boot, so the env var "
+                             "alone does not work")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     from intrinsicavatar_tpu.utils.config import (
         load_yaml, merge, resolve, apply_dotlist,
     )
@@ -62,6 +94,7 @@ def main(argv=None):
     os.makedirs(run_dir, exist_ok=True)
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         json.dump(cfg, f, indent=2, default=str)
+    _snapshot_code(run_dir)
 
     system = IntrinsicAvatarSystem(cfg)
     dataset = build_dataset(cfg, "train", "train",
