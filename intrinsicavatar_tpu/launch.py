@@ -143,8 +143,9 @@ def main(argv=None):
         import jax.numpy as jnp
 
         split = "val" if args.mode == "validate" else "test"
-        eval_ds = build_dataset(cfg, split, split if split != "val"
-                                else "val")
+        ds_mode = "predict" if args.mode == "predict" else \
+            ("val" if split == "val" else split)
+        eval_ds = build_dataset(cfg, split, ds_mode)
         step = int(state.step) if int(state.step) > 0 else 25000
         flags = system.flags_for_step(step, training=False)
         all_metrics = []

@@ -307,9 +307,104 @@ class IntrinsicAvatarSystem:
 
     def train_step(self, state: TrainState, batch, t_idx,
                    flags: RenderFlags):
-        """Two-jit step: sampling (no grad) then shading+optimize."""
+        """Two-jit step: sampling (no grad) then shading+optimize.
+
+        With ``trainer.grad_accum = n > 1`` the shading/backward stage runs
+        as n microbatches of R/n rays whose gradients are averaged before
+        one optimizer update — activation memory scales with the microbatch
+        while the optimization trajectory matches the monolithic step (all
+        losses are per-ray means over equal-size chunks; the background
+        color and step schedules are shared across chunks)."""
         intervals = self.sample_step(state, batch, t_idx, flags)
-        return self.train_step_jit(state, batch, t_idx, flags, intervals)
+        n_micro = int(self.config.trainer.get("grad_accum", 1))
+        if n_micro <= 1 or batch["rays"].shape[0] % n_micro != 0:
+            return self.train_step_jit(state, batch, t_idx, flags, intervals)
+        return self._train_step_accum(state, batch, t_idx, flags, intervals,
+                                      n_micro)
+
+    # ---------------------------------------------- gradient accumulation
+
+    _PER_RAY_KEYS = ("rays", "rgb", "alpha", "rgb_wo_mask", "valid_mask")
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _accum_keys(self, rng, n_micro):
+        """Per-step rng bookkeeping shared by all microbatches."""
+        rng, k_bg, k_fwd = jax.random.split(rng, 3)
+        bg_mode = self.config.model.get("background_color", "random")
+        if bg_mode == "white":
+            bg = jnp.ones(3)
+        elif bg_mode == "black":
+            bg = jnp.zeros(3)
+        else:
+            bg = jax.random.uniform(k_bg, (3,))
+        return rng, bg, jax.random.split(k_fwd, n_micro)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 8))
+    def _grad_microbatch(self, params, occ, step, flags, t_idx, key, bg,
+                         n_micro, i_micro, batch, intervals):
+        """Gradients of the shading loss on rays [i*m, (i+1)*m).
+
+        ``i_micro`` is traced (one compile covers every chunk); the chunk
+        size m = R // n_micro is static."""
+        R = batch["rays"].shape[0]
+        m = R // n_micro
+
+        def chunk(x):
+            return jax.lax.dynamic_slice_in_dim(x, i_micro * m, m, axis=0)
+
+        mb = {k: (chunk(v) if k in self._PER_RAY_KEYS else v)
+              for k, v in batch.items()}
+        mb_iv = jax.tree.map(chunk, intervals)
+
+        fg = mb["alpha"][..., None]
+        rgb = mb["rgb"] * fg + linear_to_srgb(bg)[None, :] * (1.0 - fg)
+        mb = {**mb, "rgb_wo_mask": mb["rgb"], "rgb": rgb}
+
+        def loss_fn(params):
+            frame, cond = self.model.prepare(params, self.statics, mb, step)
+            out = self.model.forward(
+                params, self.statics, frame, cond, occ, mb["rays"], key,
+                step, flags, t_idx=t_idx, background_color=bg,
+                intervals=mb_iv)
+            loss, losses = self.compute_losses(params, out, mb, step, flags)
+            return loss, losses
+
+        (_, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return grads, losses
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _tree_add(self, a, b):
+        return jax.tree.map(jnp.add, a, b)
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _tree_scale(self, a, s):
+        return jax.tree.map(lambda x: x * s, a)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _apply_grads(self, state: TrainState, grads, n_micro, rng):
+        grads = jax.tree.map(lambda g: g / n_micro, grads)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, occ=state.occ,
+                          step=state.step + 1, rng=rng)
+
+    def _train_step_accum(self, state: TrainState, batch, t_idx,
+                          flags: RenderFlags, intervals, n_micro: int):
+        rng, bg, keys = self._accum_keys(state.rng, n_micro)
+        grads = None
+        losses_acc = None
+        for i in range(n_micro):
+            g, losses = self._grad_microbatch(
+                state.params, state.occ, state.step, flags, t_idx, keys[i],
+                bg, n_micro, jnp.asarray(i), batch, intervals)
+            grads = g if grads is None else self._tree_add(grads, g)
+            losses_acc = (losses if losses_acc is None
+                          else self._tree_add(losses_acc, losses))
+        state = self._apply_grads(state, grads, n_micro, rng)
+        losses = self._tree_scale(losses_acc, 1.0 / n_micro)
+        return state, losses
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def occ_update_step(self, state: TrainState, batch, t_idx):

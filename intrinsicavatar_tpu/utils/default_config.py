@@ -195,6 +195,10 @@ def default_config(dataset_length: int = 100) -> ConfigNode:
             "max_steps": 25000,
             "log_every_n_steps": 100,
             "val_check_interval": 2000,
+            # microbatches per optimizer step: >1 runs the shading/backward
+            # stage in R/n-ray chunks with averaged gradients (activation
+            # HBM scales with the chunk; 4096-ray steps need 2 on a 16GB v5e)
+            "grad_accum": 1,
         },
     }
     return wrap(cfg)

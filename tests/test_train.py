@@ -77,6 +77,40 @@ def test_train_step_runs_and_descends(system_state):
     assert int(state.step) == 25
 
 
+def test_grad_accum_matches_monolithic(system_state):
+    """trainer.grad_accum=2 must match the monolithic step when the forward
+    is deterministic (no material jitter / curvature rng) and every chunk
+    sees the same valid-ray statistics."""
+    sys, state = system_state
+    batch = make_batch(R=32)
+    # identical rays -> every chunk has the global valid-ray statistics, so
+    # average-of-chunk-means == global mean exactly
+    batch = {**batch,
+             "rays": jnp.broadcast_to(batch["rays"][:1], batch["rays"].shape)}
+    flags = sys.flags_for_step(5000)._replace(
+        jitter_materials=False, with_curvature_loss=False, randomized=False)
+
+    n_accum = sys.config.trainer.get("grad_accum", 1)
+    try:
+        sys.config.trainer.grad_accum = 1
+        s1, l1 = sys.train_step(state, batch, 0.0, flags)
+        sys.config.trainer.grad_accum = 2
+        s2, l2 = sys.train_step(state, batch, 0.0, flags)
+    finally:
+        sys.config.trainer.grad_accum = n_accum
+
+    # batch-size-dependent matmul tiling perturbs the Broyden root finder at
+    # the ulp level; the tolerances below are the observed chaos floor (an
+    # averaging/scaling bug would be off by 2x, far outside them)
+    np.testing.assert_allclose(float(l1["rgb_l1"]), float(l2["rgb_l1"]),
+                               rtol=5e-3)
+    for p1, p2 in zip(jax.tree.leaves(s1.params),
+                      jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   rtol=1e-2, atol=1e-4)
+    assert int(s2.step) == int(state.step) + 1
+
+
 def test_occ_update_shrinks_grid(system_state):
     sys, state = system_state
     batch = make_batch()
