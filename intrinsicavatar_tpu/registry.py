@@ -67,3 +67,5 @@ def _populate():
     import intrinsicavatar_tpu.anim.non_rigid  # noqa: F401
     import intrinsicavatar_tpu.pbr.envlight  # noqa: F401
     import intrinsicavatar_tpu.pbr.brdf  # noqa: F401
+    import intrinsicavatar_tpu.render.renderer  # noqa: F401
+    import intrinsicavatar_tpu.train.system  # noqa: F401

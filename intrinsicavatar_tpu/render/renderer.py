@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from intrinsicavatar_tpu.registry import make
+from intrinsicavatar_tpu.registry import make, register
 from intrinsicavatar_tpu.ops import volrend as V
 from intrinsicavatar_tpu.ops import resample as RS
 from intrinsicavatar_tpu.ops.grid_traversal import (
@@ -48,6 +48,7 @@ class RenderFlags(NamedTuple):
     render_mode: str = "uniform_light"
 
 
+@register("intrinsic-avatar")
 class IntrinsicAvatar:
     """Composition root.  Construct from a config tree (see
     ``intrinsicavatar_tpu.utils.default_config``)."""

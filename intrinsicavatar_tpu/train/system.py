@@ -20,6 +20,7 @@ import numpy as np
 from intrinsicavatar_tpu.ops.math import (
     linear_to_srgb, luma, max_value, gaussian_histogram,
 )
+from intrinsicavatar_tpu.registry import register
 from intrinsicavatar_tpu.render.renderer import IntrinsicAvatar, RenderFlags
 from intrinsicavatar_tpu.render.occupancy import (
     OccGridState, make_occ_grid, update_occ_grid, level_of,
@@ -51,6 +52,7 @@ def binary_cross_entropy(pred, target):
                      * jnp.log(1.0 - pred))
 
 
+@register("intrinsic-avatar-system")
 class IntrinsicAvatarSystem:
     """Owns the model, optimizer and loss assembly."""
 
