@@ -83,7 +83,19 @@ class FastSNARF:
         self.cvg_thresh = dcfg.get("cvg", 1e-5)
         self.dvg_thresh = dcfg.get("dvg", 1e-1)
         self.max_candidates = dcfg.get("max_candidates", 4)
-        self.n_init = len(INIT_BONES)
+        # Broyden initializations actually searched per point.  The
+        # reference always runs all 13 bone inits
+        # (`deformer_torch.py:27,94-125`); pruning to the K inits whose
+        # canonicalized start point lies closest to the init bone's
+        # canonical segment loses no roots at K=8 (measured 0/15k on the
+        # synthetic body; see README "Performance") and cuts every
+        # search's gather rows by 13/K.  Set ``n_init: 13`` for exact
+        # reference behavior.
+        self.n_init = min(int(dcfg.get("n_init", 8)), len(INIT_BONES))
+        # fraction of candidate lanes (N * max_candidates) given a geometry
+        # query slot; the rest are invalid (duplicate-filtered) and receive
+        # neutral fills without touching the field (0 disables)
+        self.candidate_compaction = dcfg.get("candidate_compaction", 0.5)
 
         model_path = config.get("model_path", None)
         if model_path in (None, "synthetic"):
@@ -95,6 +107,7 @@ class FastSNARF:
         self.spec: VoxelSpec | None = None
         self.bbox: np.ndarray | None = None
         self.statics: DeformerStatics | None = None
+        self.init_segs: np.ndarray | None = None   # [13, 2, 3] canonical
         self.initialized = False
 
     # ---------------------------------------------------------- init
@@ -111,6 +124,17 @@ class FastSNARF:
                            body_pose_t)
         tfs_inv_t = rigid_inverse(out.A[0])
         verts = np.asarray(out.vertices[0])
+
+        # canonical bone segments for init pruning: joint -> first child
+        # (leaf bones degenerate to a point)
+        jc = np.asarray(out.joints[0])                      # [24, 3]
+        parents = np.asarray(self.body_model.parents)
+        first_child = {int(b): int(b) for b in range(24)}
+        for j in range(23, 0, -1):
+            first_child[int(parents[j])] = j
+        seg_a = jc[INIT_BONES]
+        seg_b = np.stack([jc[first_child[int(b)]] for b in INIT_BONES])
+        self.init_segs = np.stack([seg_a, seg_b], 1).astype(np.float32)
         self.spec = make_voxel_spec(verts, self.resolution, self.global_scale)
         self.bbox = get_bbox_from_verts(verts)
         lbs_voxel = make_weight_voxel(
@@ -210,21 +234,105 @@ class FastSNARF:
         return jnp.stack(chans, axis=-1)
 
     def search(self, frame: FrameState, pts: jax.Array) -> BroydenResult:
-        """Broyden root search over the 13 bone inits; all under stop_grad."""
+        """Broyden root search over bone-anchored inits; all under stop_grad.
+
+        With ``n_init < 13`` the per-point inits are pruned to the K bones
+        whose canonicalized start point ``R_b^T (p - t_b)`` lies closest to
+        that bone's canonical segment — the search then receives *slot*
+        indices into the 13-row ``tfs[INIT_BONES]`` table, so pruning adds
+        no gathers of its own (only elementwise distance math + top_k).
+        """
         N = pts.shape[0]
         I = self.n_init
-        xd = jnp.repeat(jax.lax.stop_gradient(pts), I, axis=0)
-        bone_idx = jnp.tile(jnp.asarray(INIT_BONES), N)
+        n_all = len(INIT_BONES)
+        pts_sg = jax.lax.stop_gradient(pts)
+        tfs_sg = jax.lax.stop_gradient(frame.tfs)
+        xd = jnp.repeat(pts_sg, I, axis=0)
+        if I >= n_all:
+            bone_idx = jnp.tile(jnp.asarray(INIT_BONES), N)
+            tfs_table = tfs_sg
+        else:
+            px, py, pz = pts_sg[:, 0], pts_sg[:, 1], pts_sg[:, 2]
+            dists = []
+            for s_, b in enumerate(INIT_BONES):
+                T = tfs_sg[int(b)]
+                dx = px - T[0, 3]
+                dy = py - T[1, 3]
+                dz = pz - T[2, 3]
+                xi = T[0, 0] * dx + T[1, 0] * dy + T[2, 0] * dz
+                yi = T[0, 1] * dx + T[1, 1] * dy + T[2, 1] * dz
+                zi = T[0, 2] * dx + T[1, 2] * dy + T[2, 2] * dz
+                a = self.init_segs[s_, 0]
+                ab = self.init_segs[s_, 1] - a
+                denom = float(ab @ ab) + 1e-9
+                t = jnp.clip(((xi - a[0]) * ab[0] + (yi - a[1]) * ab[1]
+                              + (zi - a[2]) * ab[2]) / denom, 0.0, 1.0)
+                ddx = xi - (a[0] + t * ab[0])
+                ddy = yi - (a[1] + t * ab[1])
+                ddz = zi - (a[2] + t * ab[2])
+                dists.append(ddx * ddx + ddy * ddy + ddz * ddz)
+            d = jnp.stack(dists, -1)                        # [N, 13]
+            _, slot = jax.lax.top_k(-d, I)                  # [N, I]
+            bone_idx = slot.reshape(-1).astype(jnp.int32)
+            tfs_table = tfs_sg[jnp.asarray(INIT_BONES)]     # [13, 4, 4]
         res = broyden_search(
             xd, bone_idx,
             jax.lax.stop_gradient(frame.voxel_J_packed),
-            jax.lax.stop_gradient(frame.tfs),
+            tfs_table,
             jnp.asarray(self.spec.offset),
             jnp.asarray(self.spec.scale_kernel),
             shape_dhw=self.spec.shape_dhw,
             cvg_thresh=self.cvg_thresh, dvg_thresh=self.dvg_thresh,
         )
         return res
+
+    def _query_geometry_compact(self, geometry_fn, xc_flat, valid_flat,
+                                with_jac):
+        """Run the canonical field only on valid candidate lanes.
+
+        After duplicate filtering most of the K candidate slots per point
+        are invalid (typically one real root per point), so compacting the
+        geometry query to a fixed budget of valid lanes roughly halves the
+        hash-encode gather rows — the dominant step cost on TPU.  Invalid
+        and over-budget lanes receive neutral fills (sdf=1e5 -> candidate
+        ignored), mirroring the reference's ragged evaluation of only the
+        valid set (`snarf_deformer.py:202-255`).
+
+        Returns ``(ret tuple, j_inv_nr | None)`` shaped like a direct call.
+        """
+
+        def run(p):
+            ret, j_inv_nr = geometry_fn(p)
+            if not isinstance(ret, (tuple, list)):
+                ret = (ret,)
+            return tuple(ret) + (() if j_inv_nr is None else (j_inv_nr,))
+
+        M = xc_flat.shape[0]
+        frac = self.candidate_compaction
+        out_shapes = jax.eval_shape(run, xc_flat)
+        has_nr = len(out_shapes) > 1 and out_shapes[-1].ndim == 3
+
+        if not frac or M <= 4096:
+            out = run(xc_flat)
+        else:
+            from intrinsicavatar_tpu.ops.compact import compact_apply
+            budget = min(max(int(np.ceil(M * float(frac) / 128.0)) * 128,
+                             128), M)
+            fills = []
+            for i, s in enumerate(out_shapes):
+                if i == 0:
+                    fills.append(1e5)
+                elif s.ndim == 3:
+                    fills.append(jnp.eye(3))
+                elif s.ndim == 2 and s.shape[-1] == 3:
+                    fills.append(jnp.asarray([0.0, 0.0, 1.0]))
+                else:
+                    fills.append(0.0)
+            out = compact_apply(run, xc_flat, valid_flat, budget, fills)
+
+        out = list(out)
+        j_inv_nr = out.pop() if has_nr else None
+        return tuple(out), j_inv_nr
 
     def deform(self, statics: DeformerStatics, frame: FrameState,
                pts: jax.Array, geometry_fn: Callable, with_jac: bool = False,
@@ -285,9 +393,8 @@ class FastSNARF:
         c2w = jinv if self.use_j_inv else fwd_rot                # 9 x [M]
 
         xc_flat = jnp.stack([cx, cy, cz], axis=-1)
-        ret, j_inv_nr = geometry_fn(xc_flat)
-        if not isinstance(ret, (tuple, list)):
-            ret = (ret,)
+        ret, j_inv_nr = self._query_geometry_compact(
+            geometry_fn, xc_flat, valid_flat, with_jac)
         sdf = jnp.where(valid_flat, ret[0], 1e5).reshape(N, K)
 
         idx = jnp.argmin(sdf, axis=-1)                           # [N]

@@ -159,6 +159,27 @@ class VolumeSDF:
         the angle (normalized by pi) between normals at ``x`` and at a
         random tangent perturbation ``x + 1e-4 * t``.
         """
+        if self.config.get("grad_type", "analytic") == "analytic":
+            # fused path: ONE hash encode + ONE MLP pass produce the
+            # feature vector, the SDF, and the input gradient — the split
+            # features() + _point_grad() formulation encodes and runs the
+            # MLP twice (the encode gathers dominate TPU step time)
+            xn = self._normalize(x)
+            enc = hashgrid_encode(params["table"], xn, self.spec, level_mask)
+            feat, g_enc = self.mlp.value_and_input_grad(params["mlp"], enc)
+            if self.sdf_bias:
+                bias = np.zeros(self.feature_dim, np.float32)
+                bias[0] = self.sdf_bias
+                feat = feat + jnp.asarray(bias)
+            sdf = take_channel(feat, 0)
+            grad_n = hashgrid_encode_vjp_x(params["table"], xn, self.spec,
+                                           g_enc, level_mask)
+            grad = grad_n / jnp.asarray(self.scale)[None, :]
+            if not with_laplace:
+                return sdf, grad, feat
+            return (sdf, grad, feat,
+                    self._tangent_laplace(params, x, grad, level_mask, rng))
+
         feat = self.features(params, x, level_mask)
         sdf = take_channel(feat, 0)
         if self.config.get("grad_type", "analytic") == "finite_difference":
@@ -178,7 +199,12 @@ class VolumeSDF:
 
         if not with_laplace:
             return sdf, grad, feat
+        return (sdf, grad, feat,
+                self._tangent_laplace(params, x, grad, level_mask, rng))
 
+    def _tangent_laplace(self, params, x, grad, level_mask, rng):
+        """PermutoSDF curvature proxy: normal angle at a random tangent
+        perturbation (`models/rf/geometry.py:173-205`)."""
         eps = 1e-4
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -190,5 +216,4 @@ class VolumeSDF:
         grad_d = self._point_grad(params, x_d, level_mask)
         dot = jnp.sum(safe_normalize(grad) * safe_normalize(grad_d), axis=-1)
         angle = jnp.arccos(jnp.clip(dot, -1.0 + 1e-6, 1.0 - 1e-6))
-        laplace = angle / jnp.pi
-        return sdf, grad, feat, laplace
+        return angle / jnp.pi

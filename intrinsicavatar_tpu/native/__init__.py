@@ -14,6 +14,7 @@ and exposes:
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import queue
 import subprocess
@@ -22,14 +23,22 @@ import threading
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libraysampler.so")
 _SRC = os.path.join(_DIR, "ray_sampler.cpp")
 
 _lib = None
 
 
-def _build():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO]
+def _so_path():
+    """Build product keyed by the source content hash: a stale or foreign
+    binary is never loaded (the .so itself is not committed — see
+    .gitignore), and edits to the source always trigger a rebuild."""
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_DIR, f"libraysampler-{h}.so")
+
+
+def _build(so):
+    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", so]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -39,10 +48,10 @@ def load():
     if _lib is not None:
         return _lib
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
-        lib = ctypes.CDLL(_SO)
+        so = _so_path()
+        if not os.path.exists(so):
+            _build(so)
+        lib = ctypes.CDLL(so)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         f32p = ctypes.POINTER(ctypes.c_float)
@@ -75,6 +84,10 @@ def _f32p(a):
 def erode_dilate(mask: np.ndarray, k: int):
     """Binary square-kernel erosion+dilation. ``mask`` is [H, W] (0/1)."""
     lib = load()
+    if lib is None:
+        raise RuntimeError(
+            "native library unavailable (g++ build failed); use the numpy "
+            "morphology in data.samplers.EdgeSampler instead")
     m = np.ascontiguousarray(mask > 0, np.uint8)
     H, W = m.shape
     er = np.empty_like(m)

@@ -250,47 +250,39 @@ class IntrinsicAvatar:
         alphas = self.get_alpha(params, sdf_min, self.render_step_size, step)
         return jnp.where(real, alphas, 0.0), real
 
-    def _midpoint_alphas(self, params, statics, frame, cond, sched,
-                         rays_o, rays_d, iv: RayIntervals, step):
-        """Round-2 alphas at interval midpoints with true interval lengths."""
-        t_starts, t_ends, mask = intervals_to_samples(iv)
-        mids = 0.5 * (t_starts + t_ends)
-        pos = (rays_o[:, None, :] + rays_d[:, None, :] * mids[..., None]
-               ).reshape(-1, 3)
-        out = self._deform_query(params, statics, frame, cond, pos, sched,
-                                 with_grad=False, with_feature=False,
-                                 eval_mode=True, global_step=step,
-                                 mask=mask.reshape(-1))
-        sdf = jax.lax.stop_gradient(out[1]).reshape(mids.shape)
-        alphas = self.get_alpha(params, sdf, t_ends - t_starts, step)
-        # re-align to edges: alpha of interval k lives at edge slot k
-        alphas = jnp.where(mask, alphas, 0.0)
-        return jnp.pad(alphas, ((0, 0), (0, 1)))
-
     def _importance_resample(self, params, statics, frame, cond, sched,
                              rays_o, rays_d, iv: RayIntervals, step):
-        """Two merge-resampling rounds (`models/intrinsic_avatar.py:1184-1238`)."""
+        """Merge-resampling rounds (`models/intrinsic_avatar.py:1184-1238`).
+
+        Per-edge SDF values are cached across rounds through the merge's
+        ``gather_idx`` payload carry, so each round after the initial full
+        pass queries the deformer+SDF only at the ``n_new`` freshly drawn
+        edges per ray — the reference's ``is_resampled`` contract
+        (`cdf.cu:218-333` callers re-query new points only).
+        """
         n_new = self.n_importance_samples
-        # round 0: SDF at edges, min-sdf alphas, constant dists
+        # round 0: SDF at all (valid) initial edges
         sdf = self._coarse_sdf_at_edges(params, statics, frame, cond, sched,
                                         rays_o, rays_d, iv, step)
-        alphas, _ = self._edge_alphas_min_sdf(params, iv, sdf, step)
-        alphas = jax.lax.stop_gradient(alphas)
-        weights, _ = V.render_weight_from_alpha(alphas, iv.valid)
-        merged = RS.merge_resample_rays(iv.vals, iv.is_left, iv.is_right,
-                                        iv.valid, weights, n_new)
-        iv = RayIntervals(vals=merged.vals, is_left=merged.is_left,
-                          is_right=merged.is_right, valid=merged.valid)
-
-        for _ in range(self.n_importance_rounds - 1):
-            alphas = jax.lax.stop_gradient(
-                self._midpoint_alphas(params, statics, frame, cond, sched,
-                                      rays_o, rays_d, iv, step))
+        for r in range(self.n_importance_rounds):
+            alphas, _ = self._edge_alphas_min_sdf(params, iv, sdf, step)
+            alphas = jax.lax.stop_gradient(alphas)
             weights, _ = V.render_weight_from_alpha(alphas, iv.valid)
             merged = RS.merge_resample_rays(iv.vals, iv.is_left, iv.is_right,
                                             iv.valid, weights, n_new)
             iv = RayIntervals(vals=merged.vals, is_left=merged.is_left,
                               is_right=merged.is_right, valid=merged.valid)
+            if r + 1 == self.n_importance_rounds:
+                break  # shading re-queries its own midpoints
+            # carry cached SDF into the merged layout; new slots get a
+            # placeholder that the masked re-query below overwrites
+            fill = jnp.full((sdf.shape[0], n_new), 1e10, sdf.dtype)
+            carried = jnp.take_along_axis(
+                jnp.concatenate([sdf, fill], axis=1), merged.gather_idx,
+                axis=1)
+            sdf = self._coarse_sdf_at_edges(
+                params, statics, frame, cond, sched, rays_o, rays_d, iv,
+                step, prev_sdf=carried, is_new=merged.is_new)
         return iv
 
     # ------------------------------------------------------------ forward

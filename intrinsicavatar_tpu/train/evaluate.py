@@ -76,12 +76,26 @@ def render_frame(system, params, batch, step, key, flags: RenderFlags,
     pad = (-R) % ray_chunk
     rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
 
-    @jax.jit
+    # one persistent jit per system: params/frame/occ travel as arguments,
+    # so rendering frame k+1 reuses frame k's compilation (a fresh
+    # closure-jit here recompiled the full forward for every eval frame)
+    rc = getattr(system, "_render_chunk_jit", None)
+    if rc is None:
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("flags",))
+        def rc(params, frame, cond, occ, chunk, k, step, bg, emitter_state,
+               flags):
+            return system.model.forward(
+                params, system.statics, frame, cond, occ, chunk, k, step,
+                flags, t_idx=0.0, background_color=bg,
+                emitter_state=emitter_state)
+
+        system._render_chunk_jit = rc
+
     def render_chunk(chunk, k):
-        return model.forward(params, system.statics, frame, cond, occ,
-                             chunk, k, step, flags, t_idx=0.0,
-                             background_color=bg,
-                             emitter_state=emitter_state)
+        return rc(params, frame, cond, occ, chunk, k,
+                  jnp.asarray(step, jnp.int32), bg, emitter_state, flags)
 
     keep = ("comp_rgb_full", "comp_normal", "opacity", "depth",
             "comp_rgb_phys_full", "comp_demod_phys_full", "comp_albedo_full",

@@ -62,6 +62,13 @@ class IntrinsicAvatarSystem:
         self.loss_cfg = config.system.loss
         self.reinit_occ_steps = list(
             config.system.get("reinit_occupancy_grid_steps", [8000]))
+        # optimizer / SMPL-shape re-init milestones
+        # (`systems/base.py:120-135`; both default-off in the reference)
+        self.reinit_optimizer_steps = [
+            s for s in config.system.get("reinit_optimizer_steps", [])
+            if s >= 0]
+        self.reinit_shape_every = int(
+            config.system.get("reinit_shape_every_n_steps", -1))
         self.occ_update_every = config.system.get("occ_update_every", 20)
         self.statics = None
         self.tx = None
@@ -452,15 +459,41 @@ class IntrinsicAvatarSystem:
 
     # ------------------------------------------------------------ loop
 
+    def reinit_optimizer(self, state: TrainState) -> TrainState:
+        """Rebuild optimizer + schedule from scratch
+        (`systems/base.py:131-135`)."""
+        self.tx = make_optimizer(
+            state.params, self.config.system.optimizer,
+            self.config.system.get("scheduler", {}),
+            self.config.system.get("warmup_steps", 1000))
+        return state._replace(opt_state=self.tx.init(state.params))
+
+    def reinit_shape(self, state: TrainState, betas) -> None:
+        """Rebuild the deformer's canonical statics from the currently
+        optimized SMPL shape (`systems/intrinsic_avatar.py:81-82` +
+        `snarf_deformer.py:46-79` lazy re-init)."""
+        betas = jnp.asarray(betas).reshape(-1)[:10]
+        pc = state.params.get("pose_correction", {})
+        if "betas_correction" in pc:
+            betas = betas + pc["betas_correction"].reshape(-1)[:10]
+        self.statics = self.model.initialize(np.asarray(betas))
+
     def fit(self, data_iter, state: TrainState, max_steps: int,
             log_every: int = 100, callback=None, all_frames_fn=None,
-            prefetch: bool = True, logger=None):
+            prefetch: bool = True, logger=None, val_fn=None,
+            val_every: int = 0, betas=None):
         """The training loop (replaces Lightning's trainer.fit).
 
         ``all_frames_fn()`` returns one pose batch per training frame; it is
         invoked at the occupancy-grid re-init milestones.  ``prefetch``
         overlaps host-side batch preparation with device steps; ``logger``
-        is an optional ``utils.logging.MetricLogger``.
+        is an optional ``utils.logging.MetricLogger``.  ``val_fn(state,
+        step) -> dict`` runs in-training validation every ``val_every``
+        steps (the reference validates every 2000 steps,
+        `configs/config.yaml` check_val_every_n_epoch); its scalars are
+        logged with a ``val/`` prefix.  Only log-cadence loss scalars are
+        retained in the returned history (device buffers are not
+        accumulated per step).
         """
         from intrinsicavatar_tpu.utils.logging import Throughput
 
@@ -476,6 +509,12 @@ class IntrinsicAvatarSystem:
             batch, t_idx = next(data_iter)
             if step in self.reinit_occ_steps and all_frames_fn is not None:
                 state = self.reinit_occupancy_grid(state, all_frames_fn())
+            if step in self.reinit_optimizer_steps and step > 0:
+                state = self.reinit_optimizer(state)
+            if (self.reinit_shape_every > 0 and step > 0
+                    and step % self.reinit_shape_every == 0):
+                self.reinit_shape(state, jnp.zeros(10) if betas is None
+                                  else betas)
             if step % self.occ_update_every == 0:
                 state = self.occ_update_step(state, batch, t_idx)
             flags = self.flags_for_step(step)
@@ -489,5 +528,12 @@ class IntrinsicAvatarSystem:
                     callback(step, scalars)
                 if logger is not None:
                     logger.log(step, scalars)
-            history.append(losses)
+                history.append((step, scalars))
+            if val_fn is not None and val_every > 0 and step > 0 \
+                    and step % val_every == 0:
+                metrics = val_fn(state, step)
+                if logger is not None and metrics:
+                    logger.log(step, {f"val/{k}": v
+                                      for k, v in metrics.items()
+                                      if np.ndim(v) == 0})
         return state, history

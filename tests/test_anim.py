@@ -143,6 +143,34 @@ def test_broyden_inverts_forward_skinning(posed_setup, rng):
     assert (d0.min(axis=1) < 5e-3).mean() > 0.8
 
 
+def test_broyden_two_phase_matches_single_phase(posed_setup, rng):
+    """The compacted two-phase schedule must reproduce the plain loop
+    bit-exactly for every lane that fits the compaction budget."""
+    spec = posed_setup["spec"]
+    tfs = posed_setup["tfs"]
+    vc = np.asarray(posed_setup["verts_cano"])
+    # enough points that M = N*I crosses the two-phase threshold
+    N = 8192
+    sel = rng.choice(len(vc), N, replace=True)
+    pts = jnp.asarray(vc[sel] + rng.normal(scale=0.02, size=(N, 3))
+                      .astype(np.float32))
+    w = B.grid_sample_3d(posed_setup["voxel_w"], spec.normalize(pts),
+                         padding="border")
+    xd, _ = B.forward_skinning(pts, w, tfs)
+    I = len(B.INIT_BONES)
+    args = (jnp.repeat(xd, I, axis=0), jnp.tile(jnp.asarray(B.INIT_BONES), N),
+            posed_setup["voxel_J_packed"], tfs, jnp.asarray(spec.offset),
+            jnp.asarray(spec.scale_kernel))
+    kw = dict(shape_dhw=spec.shape_dhw)
+    r1 = B.broyden_search(*args, **kw, two_phase=False)
+    r2 = B.broyden_search(*args, **kw, two_phase=True)
+    assert xd.shape[0] * I >= B._TWO_PHASE_MIN_M
+    np.testing.assert_array_equal(np.asarray(r1.valid), np.asarray(r2.valid))
+    for a, b in [(r1.x, r2.x), (r1.y, r2.y), (r1.z, r2.z),
+                 *zip(r1.j_inv, r2.j_inv)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
 def test_filter_duplicates():
     xc = jnp.asarray([[[0.0, 0, 0], [0.0, 0, 0], [1.0, 0, 0]]])
     valid = jnp.asarray([[True, True, True]])

