@@ -1,26 +1,36 @@
-"""Benchmark: training-step ray throughput on the flagship model.
+"""Benchmarks: training-step throughput (radiance + PBR regimes) and
+relighting throughput on the flagship model.
 
-Runs the full jitted training step (radiance + 2-round importance sampling,
-the regime that dominates the reference's 25k-step schedule before the PBR
-kick-in) at reference scale — 4096 rays x 128 samples/ray, 64^3 occupancy
-grid, Broyden inverse skinning — on whatever accelerator JAX provides, and
-prints ONE JSON line:
+Prints one JSON line per metric; the LAST line is the headline
+``train_rays_per_sec`` (the driver parses the final line):
 
-    {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
-     "vs_baseline": null}
+    {"metric": "relight_spp_px_per_sec", ...}
+    {"metric": "train_rays_per_sec_phys", ...}
+    {"metric": "train_rays_per_sec", ...}
 
-The reference publishes no throughput numbers (BASELINE.md): vs_baseline is
-null until a measured RTX-3090 figure exists.
+Regimes (BASELINE.md / reference `configs/config.yaml`):
+  * train (radiance): step 5000 — 128 uniform + 2x16 importance samples,
+    the schedule regime before the PBR kick-in at step 10k.
+  * train (phys): step 15000 — + 512 spp secondary scattering
+    (`render_mode=uniform_light`, config.yaml:46-51).
+  * relight: eval `render_mode=light`, 1024 spp, envlight-tensor HDRI at
+    540p (reference README.md:70-95); reported as pixel-spp/second
+    (rays_rendered x spp / elapsed) so the full-frame 540p figure is
+    value / (960*540*1024) frames per second.
+
+The reference publishes no throughput numbers (BASELINE.md): vs_baseline
+stays null until a measured RTX-3090 figure exists.
 """
 
 import json
 import sys
 import time
+import traceback
 
 import numpy as np
 
 
-def main():
+def _setup_jax():
     import os
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(os.path.dirname(
@@ -28,33 +38,18 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    return jax
+
+
+def make_batch(n_rays, rng=None):
     import jax.numpy as jnp
-
-    from intrinsicavatar_tpu.train.system import IntrinsicAvatarSystem
-    from intrinsicavatar_tpu.utils.default_config import default_config
-    from intrinsicavatar_tpu.utils.config import merge
-
-    n_rays = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    bench_step = 5000  # radiance + importance regime
-
-    cfg = default_config()
-    # bench-only shrink: the synthetic body needs no 128^3 skinning voxel
-    cfg = merge(cfg, {"model": {"deformer": {"rigid_deformer": {
-        "deformer_config": {"resolution": 64}}}}})
-    # 4096-ray backward exceeds 16GB v5e HBM monolithically; two averaged
-    # 2048-ray microbatches per optimizer step fit with headroom
-    if n_rays >= 4096:
-        cfg.trainer.grad_accum = 2
-    system = IntrinsicAvatarSystem(cfg)
-    state = system.setup(np.zeros(10), jax.random.PRNGKey(0))
-
-    rng = np.random.default_rng(0)
+    rng = rng or np.random.default_rng(0)
     target = np.array([0.0, 0.3, 2.0]) + rng.normal(scale=0.12,
                                                     size=(n_rays, 3))
     rays_o = np.zeros((n_rays, 3), np.float32)
     rays_d = (target / np.linalg.norm(target, axis=-1, keepdims=True)
               ).astype(np.float32)
-    batch = {
+    return {
         "rays": jnp.asarray(np.concatenate(
             [rays_o, rays_d, np.full((n_rays, 1), 1.0, np.float32),
              np.full((n_rays, 1), 3.0, np.float32)], -1)),
@@ -67,10 +62,39 @@ def main():
         "transl": jnp.asarray([0.0, 0.3, 2.0]),
     }
 
+
+def build_system(extra=None, grad_accum=None):
+    from intrinsicavatar_tpu.train.system import IntrinsicAvatarSystem
+    from intrinsicavatar_tpu.utils.default_config import default_config
+    from intrinsicavatar_tpu.utils.config import merge
+    import jax
+
+    cfg = default_config()
+    # bench-only shrink: the synthetic body needs no 128^3 skinning voxel
+    cfg = merge(cfg, {"model": {"deformer": {"rigid_deformer": {
+        "deformer_config": {"resolution": 64}}}}})
+    if extra:
+        cfg = merge(cfg, extra)
+    if grad_accum:
+        cfg.trainer.grad_accum = grad_accum
+    system = IntrinsicAvatarSystem(cfg)
+    state = system.setup(np.zeros(10), jax.random.PRNGKey(0))
+    return system, state
+
+
+def emit(metric, value, unit):
+    print(json.dumps({"metric": metric, "value": round(float(value), 2),
+                      "unit": unit, "vs_baseline": None}), flush=True)
+
+
+def bench_train(n_rays, bench_step, metric, grad_accum):
+    import jax
+    import jax.numpy as jnp
+    system, state = build_system(grad_accum=grad_accum)
+    batch = make_batch(n_rays)
     state = state._replace(step=jnp.asarray(bench_step, jnp.int32))
     flags = system.flags_for_step(bench_step)
 
-    # warmup / compile (forcing a real device sync through the tunnel)
     for _ in range(2):
         state, losses = system.train_step(state, batch, 0.0, flags)
     float(losses["total"])
@@ -81,22 +105,71 @@ def main():
         state, losses = system.train_step(state, batch, 0.0, flags)
     float(losses["total"])
     dt = time.perf_counter() - t0
+    emit(metric, n_rays * n_iters / dt, "rays/s")
 
-    rays_per_sec = n_rays * n_iters / dt
-    print(json.dumps({
-        "metric": "train_rays_per_sec",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s",
-        "vs_baseline": None,
-    }))
+
+def bench_relight(ray_chunk=512, spp=1024):
+    """Eval-mode `light` render with a test HDRI (the relight protocol)."""
+    import jax
+    import jax.numpy as jnp
+    from intrinsicavatar_tpu.train.evaluate import render_frame
+
+    rng = np.random.default_rng(1)
+    system, state = build_system(extra={"model": {
+        "samples_per_pixel": spp,
+        "light": {"name": "envlight-tensor",
+                  "envlight_config": {"base_res": 64}},
+    }})
+    flags = system.flags_for_step(25000, training=False)._replace(
+        render_mode="light")
+    batch = make_batch(ray_chunk, rng=rng)
+    batch["hdri"] = jnp.asarray(
+        rng.uniform(0.0, 2.0, size=(64, 128, 3)).astype(np.float32))
+
+    # warm + compile (render_frame builds the per-frame occ grid once)
+    out = render_frame(system, state.params, batch, 25000,
+                       jax.random.PRNGKey(0), flags, ray_chunk=ray_chunk)
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = render_frame(system, state.params, batch, 25000,
+                           jax.random.PRNGKey(1), flags,
+                           ray_chunk=ray_chunk)
+    _ = float(np.sum(out["comp_rgb_phys_full"]))
+    dt = time.perf_counter() - t0
+    emit("relight_spp_px_per_sec", ray_chunk * spp * n_iters / dt, "spp*px/s")
+
+
+def main():
+    _setup_jax()
+    n_rays = 4096
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1]
+        elif a.isdigit():
+            n_rays = int(a)
+
+    if only in (None, "relight"):
+        try:
+            bench_relight()
+        except Exception:
+            traceback.print_exc()
+    if only in (None, "phys"):
+        try:
+            bench_train(n_rays, 15000, "train_rays_per_sec_phys",
+                        grad_accum=4 if n_rays >= 4096 else 2)
+        except Exception:
+            traceback.print_exc()
+    if only in (None, "train"):
+        # headline metric LAST: the driver parses the final JSON line
+        try:
+            bench_train(n_rays, 5000, "train_rays_per_sec",
+                        grad_accum=2 if n_rays >= 4096 else 1)
+        except Exception:
+            traceback.print_exc()
+            bench_train(2048, 5000, "train_rays_per_sec", grad_accum=1)
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception:
-        # fall back to half the ray batch (e.g. HBM headroom on small chips)
-        import traceback
-        traceback.print_exc()
-        sys.argv = [sys.argv[0], "2048"]
-        main()
+    main()

@@ -30,3 +30,4 @@ def _populate():
     import intrinsicavatar_tpu.data.rana  # noqa: F401
     import intrinsicavatar_tpu.data.animation  # noqa: F401
     import intrinsicavatar_tpu.data.synthetic  # noqa: F401
+    import intrinsicavatar_tpu.data.capsule  # noqa: F401

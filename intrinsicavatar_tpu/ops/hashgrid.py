@@ -56,8 +56,13 @@ class HashGridSpec:
 
     @property
     def dense_levels(self) -> np.ndarray:
-        """Levels small enough to index densely instead of hashing."""
-        return (self.resolutions.astype(np.int32) ** 3) <= self.table_size
+        """Levels small enough to index densely instead of hashing.
+
+        int64 cube: res^3 overflows int32 for res > 1290, which silently
+        misclassified the finest levels as dense (and round-1 then indexed
+        them with a wrapped stride instead of the spatial hash).
+        """
+        return (self.resolutions.astype(np.int64) ** 3) <= self.table_size
 
     @property
     def n_output_dims(self) -> int:
@@ -82,6 +87,46 @@ def _corner_offsets() -> np.ndarray:
     return g.reshape(8, 3)  # [8,3]
 
 
+def _level_coords(xc, scale):
+    """Per-level corner setup for one coordinate: (c0 int32, frac)."""
+    p = xc * scale + 0.5
+    c0 = jnp.floor(p)
+    return c0.astype(jnp.int32), p - c0
+
+
+def _pack_dense_level(tab_l: jax.Array, r: int) -> jax.Array:
+    """Corner-pack one dense level ``[T, F]`` -> ``[r^3, 8F]`` rows.
+
+    Row layout ``packed[cell, corner*F + f]`` with corners ordered by
+    ``(dx, dy, dz)`` bits (dz fastest) and border clamping — one row
+    gather then serves all 8 corners of a query (TPU gathers are priced
+    per row, so this is ~8x fewer gather rows than per-corner lookups).
+    Differentiable: built from rolls/concats of the canonical parameters,
+    so table gradients flow back through the packing.
+    """
+    F = tab_l.shape[-1]
+    vf = [tab_l[: r * r * r, f] for f in range(F)]
+    from intrinsicavatar_tpu.anim.broyden import corner_pack
+    return corner_pack(vf, (r, r, r), padding="border")
+
+
+def _corner_weights(fx, fy, fz):
+    """``[N, 8]`` trilinear corner weights, (dx, dy, dz) bits, dz fastest."""
+    N = fx.shape[0]
+    wx = jnp.stack([1.0 - fx, fx], -1)
+    wy = jnp.stack([1.0 - fy, fy], -1)
+    wz = jnp.stack([1.0 - fz, fz], -1)
+    return (wx[:, :, None, None] * wy[:, None, :, None]
+            * wz[:, None, None, :]).reshape(N, 8)
+
+
+def _hash_corner_idx(cx, cy, cz, T):
+    h = (cx.astype(jnp.uint32) * np.uint32(_PRIMES[0])
+         ^ cy.astype(jnp.uint32) * np.uint32(_PRIMES[1])
+         ^ cz.astype(jnp.uint32) * np.uint32(_PRIMES[2]))
+    return (h & np.uint32(T - 1)).astype(jnp.int32)
+
+
 def hashgrid_encode(
     table: jax.Array,
     x: jax.Array,
@@ -96,59 +141,52 @@ def hashgrid_encode(
     ``level_mask`` (``[L*F]``) implements ProgressiveBandHashGrid masking.
     ``include_xyz`` prepends ``x*xyz_scale + xyz_offset`` (the reference's
     CompositeEncoding, `models/network_utils.py:156-176`).
+
+    TPU layout: gathers are priced per *row*, so every lookup is a row
+    gather — dense levels read ONE corner-packed ``8F``-wide row per
+    point (:func:`_pack_dense_level`), hashed levels read 8 ``F``-wide
+    rows; the old formulation's ``N*L*F*8`` scalar gathers measured ~4x
+    slower on v5e.  Components of ``x`` come from one-hot contractions,
+    not slices (slice-backward pads SIGILL the TPU fusion pass — see
+    ops.math.take_channel).
     """
     N = x.shape[0]
     L, T, F = table.shape
-    scales = jnp.asarray(spec.scales, x.dtype)            # [L]
-    res = jnp.asarray(spec.resolutions, jnp.int32)        # [L]
-    dense = jnp.asarray(spec.dense_levels)                # [L] bool
 
-    # TPU layout notes: (a) all per-corner work is kept in [N, L]-shaped
-    # (or flat [N*L*F]) arrays — never [N, L, 8, F] — because minor dims of
-    # 2/3/8 pad to 128 lanes on TPU (observed 16-64x HBM expansion);
-    # (b) x may carry gradients, so components come from one-hot
-    # contractions, not slices (slice-backward pads SIGILL the TPU fusion
-    # pass — see ops.math.take_channel).
     from intrinsicavatar_tpu.ops.math import vec3_components
     xx, xy, xz = vec3_components(x)
-    px = xx[:, None] * scales[None, :] + 0.5              # [N,L]
-    py = xy[:, None] * scales[None, :] + 0.5
-    pz = xz[:, None] * scales[None, :] + 0.5
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    z0 = jnp.floor(pz)
-    fx, fy, fz = px - x0, py - y0, pz - z0
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-    z0 = z0.astype(jnp.int32)
 
-    level_base = (jnp.arange(L, dtype=jnp.int32) * T)[None, :]
-    table_flat = table.reshape(L * T * F)
-    farange = jnp.arange(F, dtype=jnp.int32)
+    outs = []
+    for lvl in range(L):
+        s = float(spec.scales[lvl])
+        r = int(spec.resolutions[lvl])
+        x0, fx = _level_coords(xx, s)
+        y0, fy = _level_coords(xy, s)
+        z0, fz = _level_coords(xz, s)
+        if bool(spec.dense_levels[lvl]):
+            packed = _pack_dense_level(table[lvl], r)
+            cell = (jnp.clip(z0, 0, r - 1) * r + jnp.clip(y0, 0, r - 1)) \
+                * r + jnp.clip(x0, 0, r - 1)
+            rows = jnp.take(packed, cell, axis=0).reshape(N, 8, F)
+            w = _corner_weights(fx, fy, fz)
+            outs.append(jnp.einsum("mk,mkf->mf", w, rows))
+        else:
+            acc = jnp.zeros((N, F), x.dtype)
+            for dx in (0, 1):
+                wx = fx if dx else 1.0 - fx
+                for dy in (0, 1):
+                    wy = fy if dy else 1.0 - fy
+                    for dz in (0, 1):
+                        wz = fz if dz else 1.0 - fz
+                        idx = _hash_corner_idx(
+                            jnp.clip(x0 + dx, 0, r - 1),
+                            jnp.clip(y0 + dy, 0, r - 1),
+                            jnp.clip(z0 + dz, 0, r - 1), T)
+                        feats = jnp.take(table[lvl], idx, axis=0)  # [N, F]
+                        acc = acc + feats * (wx * wy * wz)[:, None]
+            outs.append(acc)
 
-    out = jnp.zeros((N, L * F), x.dtype)
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                cx = jnp.clip(x0 + dx, 0, res - 1)
-                cy = jnp.clip(y0 + dy, 0, res - 1)
-                cz = jnp.clip(z0 + dz, 0, res - 1)
-                dense_idx = cx + cy * res + cz * res * res
-                h = (cx.astype(jnp.uint32) * np.uint32(_PRIMES[0])
-                     ^ cy.astype(jnp.uint32) * np.uint32(_PRIMES[1])
-                     ^ cz.astype(jnp.uint32) * np.uint32(_PRIMES[2]))
-                hash_idx = (h & np.uint32(T - 1)).astype(jnp.int32)
-                idx = jnp.where(dense[None, :], dense_idx % T, hash_idx)
-                w = ((fx if dx else 1.0 - fx)
-                     * (fy if dy else 1.0 - fy)
-                     * (fz if dz else 1.0 - fz))          # [N, L]
-                # flat gather of all F features, laid out [N, L*F] directly
-                flat = (jnp.repeat((idx + level_base) * F, F, axis=1)
-                        + jnp.tile(farange, L)[None, :])
-                feats = jnp.take(table_flat, flat.reshape(-1),
-                                 axis=0).reshape(N, L * F)
-                out = out + feats * jnp.repeat(w, F, axis=1)
-
+    out = jnp.concatenate(outs, axis=-1)                    # [N, L*F]
     if level_mask is not None:
         out = out * level_mask[None, :]
     if spec.include_xyz:
@@ -177,70 +215,66 @@ def hashgrid_encode_vjp_x(
     """
     N = x.shape[0]
     L, T, F = table.shape
-    scales = jnp.asarray(spec.scales, x.dtype)
-    res = jnp.asarray(spec.resolutions, jnp.int32)
-    dense = jnp.asarray(spec.dense_levels)
 
     if spec.include_xyz:
         from intrinsicavatar_tpu.ops.math import split_channels
         g_xyz, g = split_channels(g, [3, L * F])
     if level_mask is not None:
         g = g * level_mask[None, :]
+    g = g.reshape(N, L, F)
 
     from intrinsicavatar_tpu.ops.math import vec3_components
     xx, xy, xz = vec3_components(x)
-    px = xx[:, None] * scales[None, :] + 0.5
-    py = xy[:, None] * scales[None, :] + 0.5
-    pz = xz[:, None] * scales[None, :] + 0.5
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    z0 = jnp.floor(pz)
-    fx, fy, fz = px - x0, py - y0, pz - z0
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-    z0 = z0.astype(jnp.int32)
 
-    level_base = (jnp.arange(L, dtype=jnp.int32) * T)[None, :]
-    table_flat = table.reshape(L * T * F)
-    farange = jnp.arange(F, dtype=jnp.int32)
-
-    gx = jnp.zeros((N, L), x.dtype)
-    gy = jnp.zeros((N, L), x.dtype)
-    gz = jnp.zeros((N, L), x.dtype)
-    for dx in (0, 1):
-        wx = fx if dx else 1.0 - fx
-        sx = 1.0 if dx else -1.0
-        for dy in (0, 1):
-            wy = fy if dy else 1.0 - fy
-            sy = 1.0 if dy else -1.0
-            for dz in (0, 1):
+    gx = jnp.zeros((N,), x.dtype)
+    gy = jnp.zeros((N,), x.dtype)
+    gz = jnp.zeros((N,), x.dtype)
+    corner_signs = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1)
+                    for dz in (0, 1)]
+    for lvl in range(L):
+        s = float(spec.scales[lvl])
+        r = int(spec.resolutions[lvl])
+        x0, fx = _level_coords(xx, s)
+        y0, fy = _level_coords(xy, s)
+        z0, fz = _level_coords(xz, s)
+        g_l = g[:, lvl, :]                                  # [N, F]
+        lgx = jnp.zeros((N,), x.dtype)
+        lgy = jnp.zeros((N,), x.dtype)
+        lgz = jnp.zeros((N,), x.dtype)
+        if bool(spec.dense_levels[lvl]):
+            packed = _pack_dense_level(table[lvl], r)
+            cell = (jnp.clip(z0, 0, r - 1) * r + jnp.clip(y0, 0, r - 1)) \
+                * r + jnp.clip(x0, 0, r - 1)
+            rows = jnp.take(packed, cell, axis=0).reshape(N, 8, F)
+            fg_all = jnp.einsum("mkf,mf->mk", rows, g_l)    # [N, 8]
+            for k, (dx, dy, dz) in enumerate(corner_signs):
+                wx = fx if dx else 1.0 - fx
+                wy = fy if dy else 1.0 - fy
                 wz = fz if dz else 1.0 - fz
-                sz = 1.0 if dz else -1.0
-                cx = jnp.clip(x0 + dx, 0, res - 1)
-                cy = jnp.clip(y0 + dy, 0, res - 1)
-                cz = jnp.clip(z0 + dz, 0, res - 1)
-                dense_idx = cx + cy * res + cz * res * res
-                h = (cx.astype(jnp.uint32) * np.uint32(_PRIMES[0])
-                     ^ cy.astype(jnp.uint32) * np.uint32(_PRIMES[1])
-                     ^ cz.astype(jnp.uint32) * np.uint32(_PRIMES[2]))
-                hash_idx = (h & np.uint32(T - 1)).astype(jnp.int32)
-                idx = jnp.where(dense[None, :], dense_idx % T, hash_idx)
-                flat = (jnp.repeat((idx + level_base) * F, F, axis=1)
-                        + jnp.tile(farange, L)[None, :])
-                feats = jnp.take(table_flat, flat.reshape(-1),
-                                 axis=0).reshape(N, L * F)
-                # per-level contraction of cotangent with corner features
-                fg = (feats * g).reshape(N, L, F).sum(-1)     # [N, L]
-                gx = gx + fg * (sx * wy * wz)
-                gy = gy + fg * (wx * sy * wz)
-                gz = gz + fg * (wx * wy * sz)
+                fg = fg_all[:, k]
+                lgx = lgx + fg * ((1.0 if dx else -1.0) * wy * wz)
+                lgy = lgy + fg * (wx * (1.0 if dy else -1.0) * wz)
+                lgz = lgz + fg * (wx * wy * (1.0 if dz else -1.0))
+        else:
+            for dx, dy, dz in corner_signs:
+                wx = fx if dx else 1.0 - fx
+                wy = fy if dy else 1.0 - fy
+                wz = fz if dz else 1.0 - fz
+                idx = _hash_corner_idx(
+                    jnp.clip(x0 + dx, 0, r - 1),
+                    jnp.clip(y0 + dy, 0, r - 1),
+                    jnp.clip(z0 + dz, 0, r - 1), T)
+                feats = jnp.take(table[lvl], idx, axis=0)   # [N, F]
+                fg = jnp.sum(feats * g_l, -1)               # [N]
+                lgx = lgx + fg * ((1.0 if dx else -1.0) * wy * wz)
+                lgy = lgy + fg * (wx * (1.0 if dy else -1.0) * wz)
+                lgz = lgz + fg * (wx * wy * (1.0 if dz else -1.0))
+        # chain the input scaling: d pos/d x = scale_l (per level)
+        gx = gx + lgx * s
+        gy = gy + lgy * s
+        gz = gz + lgz * s
 
-    # chain the input scaling: d pos/d x = scale_l (per level)
-    out = jnp.stack([
-        jnp.sum(gx * scales[None, :], -1),
-        jnp.sum(gy * scales[None, :], -1),
-        jnp.sum(gz * scales[None, :], -1),
-    ], axis=-1)
+    out = jnp.stack([gx, gy, gz], axis=-1)
     if spec.include_xyz:
         out = out + g_xyz * spec.xyz_scale
     return out

@@ -354,28 +354,56 @@ class IntrinsicAvatar:
         dists = t_ends - t_starts
 
         # ------------------------------------------------ shading queries
+        #
+        # All per-sample field work (deformer, geometry, radiance,
+        # material) runs in a COMPACT domain of the ~50% valid samples —
+        # one gather in, one packed scatter out — so every hash-encode /
+        # MLP (and its backward) touches half the lanes.  Samples beyond
+        # the static budget are dropped from the render (alpha 0), exactly
+        # like the per-query budgets the reference's ragged packing
+        # replaced.
         pos = (rays_o[:, None, :] + rays_d[:, None, :] * mids[..., None]
                ).reshape(-1, 3)
         with_lap = flags.training and flags.with_curvature_loss
+        Mfull = R * S
+        frac = self.config.get("query_compaction", 0.5)
+        use_compact = bool(frac) and Mfull >= 4096
+        if use_compact:
+            from intrinsicavatar_tpu.ops.compact import compact_indices
+            # +1/8 headroom over the nominal fraction: the sample-validity
+            # fraction hovers around frac itself after importance merging
+            budget = int(np.ceil(Mfull * min(1.0, float(frac) + 0.125)
+                                 / 128.0)) * 128
+            budget = min(max(budget, 128), Mfull)
+            sidx, spicked = compact_indices(smask.reshape(-1), budget)
+            pos_q = pos[sidx]
+            dirs_q = jnp.repeat(rays_d, S, axis=0)[sidx]
+            dists_q = dists.reshape(-1)[sidx]
+            qmask = None
+        else:
+            sidx, spicked = None, None
+            pos_q = pos
+            dirs_q = jnp.repeat(rays_d, S, axis=0)
+            dists_q = dists.reshape(-1)
+            qmask = smask.reshape(-1)
+
         out = self._deform_query(
-            params, statics, frame, cond, pos, sched,
+            params, statics, frame, cond, pos_q, sched,
             with_grad=True, with_feature=True, with_laplace=with_lap,
             eval_mode=not flags.training, rng=k_lap, global_step=step,
-            mask=smask.reshape(-1))
+            mask=qmask)
         pos_cano, sdf, valid, sdf_grad, sdf_grad_cano, feat = out[:6]
         laplace = out[6] if with_lap else jnp.zeros_like(sdf)
 
-        normal_smpl = safe_normalize(sdf_grad)
-        normal_world = self.deformer.rigid.transform_dirs_s2w(frame, sdf_grad)
-        dirs_world = self.deformer.rigid.transform_dirs_s2w(
-            frame, jnp.repeat(rays_d, S, axis=0))
+        dirs_world = self.deformer.rigid.transform_dirs_s2w(frame, dirs_q)
+        normal_world_q = self.deformer.rigid.transform_dirs_s2w(
+            frame, sdf_grad)
 
         rgbs, rgb_feat = self.radiance(
-            params["radiance"], pos_cano, feat, dirs_world, normal_world,
+            params["radiance"], pos_cano, feat, dirs_world, normal_world_q,
             level_mask=sched["rad_mask"], sh_mask=sched["sh_mask"])
 
-        alphas = self.get_alpha(params, sdf, dists.reshape(-1), step)
-        alphas = alphas.reshape(R, S)
+        alphas = self.get_alpha(params, sdf, dists_q, step)
 
         mats = mats_jitter = None
         if flags.enable_phys:
@@ -402,6 +430,36 @@ class IntrinsicAvatar:
                 mats_jitter = self.material(params["material"], mfj)
             else:
                 mats_jitter = jnp.zeros_like(mats)
+
+        if use_compact:
+            # one packed row scatter returns every per-sample quantity to
+            # the rectangular [R*S] layout (scatters run ~10M rows/s on
+            # v5e — pack once instead of scattering each quantity)
+            n_mat = mats.shape[-1] if mats is not None else 0
+            widths = [1, 3, 3, 1, 1, 1]
+            cols = [alphas[:, None], rgbs, sdf_grad, sdf[:, None],
+                    laplace[:, None], spicked[:, None].astype(sdf.dtype)]
+            if flags.enable_phys:
+                widths += [n_mat, n_mat]
+                cols += [mats, mats_jitter]
+            packed_q = jnp.concatenate(cols, axis=-1)
+            packed_q = jnp.where(spicked[:, None], packed_q, 0.0)
+            full = jnp.zeros((Mfull, packed_q.shape[-1]), packed_q.dtype
+                             ).at[sidx].set(packed_q)
+            parts = split_channels(full, widths)
+            alphas = parts[0][:, 0]
+            rgbs = parts[1]
+            sdf_grad = parts[2]
+            sdf = parts[3][:, 0]
+            laplace = parts[4][:, 0]
+            smask = smask & (parts[5][:, 0] > 0.5).reshape(R, S)
+            if flags.enable_phys:
+                mats, mats_jitter = parts[6], parts[7]
+            valid = jnp.zeros((Mfull,), bool).at[sidx].set(valid & spicked)
+
+        normal_smpl = safe_normalize(sdf_grad)
+        normal_world = self.deformer.rigid.transform_dirs_s2w(frame, sdf_grad)
+        alphas = alphas.reshape(R, S)
 
         # ------------------------------------------------ composite
         weights, trans = V.render_weight_from_alpha(alphas, smask)

@@ -80,7 +80,25 @@ def cropped_ssim(pred, gt, mask) -> float:
 
 
 def lpips_fn():
-    """Returns a LPIPS(VGG) callable or None if unavailable in this env."""
+    """Returns a LPIPS(VGG) callable or None if unavailable in this env.
+
+    Preference order: the pure-JAX implementation (weights npz via
+    ``INTRINSICAVATAR_LPIPS_WEIGHTS``, see utils/lpips_jax.py), then the
+    torch ``lpips`` package; None when neither has weights (documented
+    protocol deviation — BASELINE.md)."""
+    try:
+        from intrinsicavatar_tpu.utils import lpips_jax
+        jf = lpips_jax.lpips_fn()
+        if jf is not None:
+            def compute_jax(pred, gt, mask=None):
+                if mask is not None:
+                    y0, y1, x0, x1 = bbox_of_mask(mask)
+                    pred, gt = pred[y0:y1, x0:x1], gt[y0:y1, x0:x1]
+                return jf(pred, gt)
+
+            return compute_jax
+    except Exception:
+        pass
     try:
         import lpips as _lpips
         import torch

@@ -57,6 +57,28 @@ def test_smpl_elbow_bend_moves_hand_only(body):
     np.testing.assert_allclose(j1[:16], j0[:16], atol=1e-5)  # torso fixed
 
 
+def test_smpl_matches_reference_golden():
+    """Golden parity vs the reference smplx ``lbs()`` (dumped by
+    scripts/make_smpl_golden.py from `models/deformers/smplx/lbs.py` run
+    in float64 on the same synthetic body): verts/joints/A to <=1e-5."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "smpl_golden.npz")
+    g = np.load(path)
+    body = S.make_synthetic_body_model(n_surface_verts=1200)
+    for i in range(g["betas"].shape[0]):
+        pose = g["pose"][i]
+        out = S.smpl_forward(body, jnp.asarray(g["betas"][i]),
+                             jnp.asarray(pose[3:]),
+                             global_orient=jnp.asarray(pose[:3]))
+        np.testing.assert_allclose(np.asarray(out.vertices[0]),
+                                   g["verts"][i], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.joints[0]),
+                                   g["joints"][i], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.A[0]),
+                                   g["A"][i], atol=1e-5)
+
+
 # ---------------------------------------------------------------- sampling
 
 def test_grid_sample_matches_manual():

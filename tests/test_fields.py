@@ -95,6 +95,32 @@ def test_hashgrid_interpolation_linear(rng):
                                atol=1e-9)
 
 
+def test_hashgrid_dense_flags_no_int32_overflow():
+    """res^3 overflows int32 beyond res=1290; the finest default levels
+    must classify as hashed, not dense (round-1 regression)."""
+    spec = HashGridSpec()  # default: finest res ~4k
+    res = spec.resolutions.astype(np.int64)
+    dense = spec.dense_levels
+    assert not dense[res**3 > spec.table_size].any()
+    assert dense[res**3 <= spec.table_size].all()
+
+
+def test_hashgrid_vjp_x_matches_autodiff(rng):
+    from intrinsicavatar_tpu.ops.hashgrid import hashgrid_encode_vjp_x
+    spec = HashGridSpec(n_levels=4, n_features_per_level=2,
+                        log2_hashmap_size=8, base_resolution=4,
+                        per_level_scale=2.0, include_xyz=True)
+    key = jax.random.PRNGKey(3)
+    table = init_hashgrid(key, spec) * 1e3
+    x = jnp.asarray(rng.uniform(0.05, 0.95, size=(32, 3)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(32, spec.n_output_dims))
+                    .astype(np.float32))
+    _, pull = jax.vjp(lambda p: hashgrid_encode(table, p, spec), x)
+    auto = np.asarray(pull(g)[0])
+    manual = np.asarray(hashgrid_encode_vjp_x(table, x, spec, g))
+    np.testing.assert_allclose(manual, auto, rtol=1e-4, atol=1e-5)
+
+
 def test_hashgrid_include_xyz_and_mask():
     spec = HashGridSpec(n_levels=2, n_features_per_level=2, include_xyz=True,
                         log2_hashmap_size=10, base_resolution=4)
