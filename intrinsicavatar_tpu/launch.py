@@ -116,6 +116,11 @@ def main(argv=None):
     if args.mode == "train":
         max_steps = cfg.trainer.get("max_steps", 25000)
         log_every = cfg.trainer.get("log_every_n_steps", 100)
+        val_every = cfg.trainer.get("check_val_every_n_steps", 2000)
+        ckpt_every = cfg.trainer.get("ckpt_every_n_steps", 0)
+        from intrinsicavatar_tpu.utils.logging import MetricLogger
+        logger = MetricLogger(run_dir, use_wandb=cfg.get("use_wandb", False),
+                              config=cfg)
 
         def log(step, losses):
             msg = " ".join(f"{k}={float(v):.4f}" for k, v in
@@ -129,16 +134,61 @@ def main(argv=None):
                 for i in range(len(dataset))
             ]
 
+        # in-training validation every N steps (the reference validates
+        # every 2000 steps with metrics + image dumps,
+        # `systems/intrinsic_avatar.py:317-545`)
+        val_fn = None
+        try:
+            val_ds = build_dataset(cfg, "val", "val")
+        except Exception:
+            val_ds = None
+        if val_ds is not None and val_every > 0:
+            from intrinsicavatar_tpu.train import evaluate as EV
+            import jax.numpy as jnp
+            val_dir = os.path.join(run_dir, "val")
+            os.makedirs(val_dir, exist_ok=True)
+
+            def val_fn(state, step):
+                flags = system.flags_for_step(step, training=False)
+                agg = {}
+                n = min(len(val_ds), 2)
+                for i in range(n):
+                    b_np = val_ds[i]
+                    b = {k: jnp.asarray(v) for k, v in b_np.items()
+                         if k != "t_idx"}
+                    out = EV.render_frame(
+                        system, state.params, b, step,
+                        jax.random.PRNGKey(step + i), flags,
+                        ray_chunk=cfg.model.get("ray_chunk", 4096))
+                    m = EV.frame_metrics(out, b_np,
+                                         getattr(val_ds, "img_wh", None))
+                    for k, v in m.items():
+                        agg.setdefault(k, []).append(v)
+                    if getattr(val_ds, "img_wh", None):
+                        EV.dump_frame_images(val_dir, f"it{step}_f{i}", out,
+                                             b_np, val_ds.img_wh)
+                mean = {k: float(np.mean(v)) for k, v in agg.items()
+                        if v and v[0] is not None}
+                print(f"[val @ {step}] " + " ".join(
+                    f"{k}={v:.3f}" for k, v in sorted(mean.items())),
+                    flush=True)
+                if ckpt_every and step % ckpt_every == 0:
+                    ckpt.save_checkpoint(
+                        os.path.join(run_dir, "ckpt", f"step{step}"), state)
+                return mean
+
         state, _ = system.fit(dataset.train_iter(), state, max_steps,
                               log_every=log_every, callback=log,
-                              all_frames_fn=all_frames)
+                              all_frames_fn=all_frames, logger=logger,
+                              val_fn=val_fn, val_every=val_every,
+                              betas=dataset.betas)
         ckpt.save_checkpoint(os.path.join(run_dir, "ckpt", "final"), state)
         print("saved checkpoint to", os.path.join(run_dir, "ckpt", "final"))
 
     elif args.mode in ("validate", "test", "predict"):
         from intrinsicavatar_tpu.train.evaluate import (
             render_frame, frame_metrics, dump_frame_images,
-            export_canonical_mesh, dump_envmap,
+            export_canonical_mesh, dump_envmap, fit_albedo_ratio,
         )
         import jax.numpy as jnp
 
@@ -153,12 +203,33 @@ def main(argv=None):
             batch_np = eval_ds[i]
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()
                      if k != "t_idx"}
+            # relighting protocol: albedo-only pre-pass -> one alignment
+            # ratio per frame, used by the full render
+            # (`systems/intrinsic_avatar.py:598-611`); the per-frame
+            # deformed-space occupancy grid is built once and shared
+            ratio = None
+            occ = frm = cnd = None
+            if (args.mode == "test" and flags.enable_phys
+                    and "albedo" in batch_np):
+                from intrinsicavatar_tpu.train.evaluate import (
+                    build_test_occ_grid)
+                occ, frm, cnd = build_test_occ_grid(
+                    system, state.params, batch, step,
+                    jax.random.PRNGKey(2000 + i))
+                ratio = fit_albedo_ratio(
+                    system, state.params, batch, step,
+                    jax.random.PRNGKey(1000 + i), flags,
+                    ray_chunk=cfg.model.get("ray_chunk", 4096),
+                    occ=occ, frame=frm, cond=cnd)
             out = render_frame(system, state.params, batch, step,
                                jax.random.PRNGKey(i), flags,
-                               ray_chunk=cfg.model.get("ray_chunk", 4096))
+                               ray_chunk=cfg.model.get("ray_chunk", 4096),
+                               occ=occ, frame=frm, cond=cnd,
+                               albedo_align_ratio=ratio)
             if "rgb" in batch_np:
                 m = frame_metrics(out, batch_np, getattr(eval_ds, "img_wh",
-                                                         None))
+                                                         None),
+                                  albedo_prealigned=ratio is not None)
                 all_metrics.append(m)
                 print(f"frame {i}: " + " ".join(
                     f"{k}={v:.3f}" for k, v in m.items()

@@ -91,12 +91,47 @@ def compute_indirect_radiance(model, params, statics, frame, cond, sched,
                               flags, active=None):
     """Secondary-ray marcher (`models/intrinsic_avatar.py:396-545`).
 
+    Large fan-outs (rays x spp) are processed in fixed-size chunks via
+    ``lax.map`` — the role of the reference's ``secondary_shader_chunk``
+    (`configs/config.yaml:51`): activation memory scales with the chunk
+    while the chunk body compiles once.  The whole stage is gradient-free
+    (`intrinsic_avatar.py:564,673` torch.no_grad).
+
     Args:
       rays_o/rays_d: ``[M, 3]`` flat secondary rays (SMPL space).
       active: optional ``[M]`` mask — inactive rays still cost compute (the
         layout is rectangular) but their queries are garbage-safe.
     Returns ``(transmittance [M], rgb [M, 3])``.
     """
+    rays_o = jax.lax.stop_gradient(rays_o)
+    rays_d = jax.lax.stop_gradient(rays_d)
+    M = rays_o.shape[0]
+    chunk = int(model.config.get("secondary_shader_chunk", 65536))
+    if M > chunk:
+        n = -(-M // chunk)
+        pad = n * chunk - M
+        ro = jnp.pad(rays_o, ((0, pad), (0, 0))).reshape(n, chunk, 3)
+        rd = jnp.pad(rays_d, ((0, pad), (0, 0)),
+                     constant_values=1.0).reshape(n, chunk, 3)
+        act = (jnp.pad(active, (0, pad)) if active is not None
+               else jnp.pad(jnp.ones(M, bool), (0, pad))).reshape(n, chunk)
+
+        def body(args):
+            ro_c, rd_c, act_c = args
+            return _indirect_impl(model, params, statics, frame, cond,
+                                  sched, occ_binaries, occ_aabb, ro_c, rd_c,
+                                  step, flags, act_c)
+
+        tr, rgb = jax.lax.map(body, (ro, rd, act))
+        return tr.reshape(-1)[:M], rgb.reshape(-1, 3)[:M]
+    return _indirect_impl(model, params, statics, frame, cond, sched,
+                          occ_binaries, occ_aabb, rays_o, rays_d, step,
+                          flags, active)
+
+
+def _indirect_impl(model, params, statics, frame, cond, sched,
+                   occ_binaries, occ_aabb, rays_o, rays_d, step,
+                   flags, active=None):
     M = rays_o.shape[0]
     S = model.num_samples_per_secondary_ray
     step_size = (model.secondary_far_plane - model.secondary_near_plane) \

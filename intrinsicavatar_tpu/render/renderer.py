@@ -46,6 +46,10 @@ class RenderFlags(NamedTuple):
     with_curvature_loss: bool = True
     jitter_materials: bool = True
     render_mode: str = "uniform_light"
+    # cheap eval pre-pass: compute material maps but skip the secondary-ray
+    # PBR stage (`models/intrinsic_avatar.py:222,1290` albedo_only) — used
+    # to fit the per-frame albedo alignment ratio before the full render
+    albedo_only: bool = False
 
 
 @register("intrinsic-avatar")
@@ -323,7 +327,7 @@ class IntrinsicAvatar:
     def forward(self, params, statics, frame, cond, occ: OccGridState,
                 rays_world, rng, step, flags: RenderFlags,
                 t_idx=0.0, background_color=None, emitter_state=None,
-                intervals=None):
+                intervals=None, albedo_align_ratio=None):
         """Render a batch of rays.  Returns the output dict of Appendix B
         (`models/intrinsic_avatar.py:1492-1666`): ``comp_rgb, comp_normal,
         opacity, depth, rays_valid, ...`` plus ``*_bg`` / ``*_full`` and
@@ -414,6 +418,13 @@ class IntrinsicAvatar:
             else:
                 mat_feat = jnp.concatenate([rgb_feat, feat], axis=-1)
             mats = self.material(params["material"], mat_feat)
+            if not flags.training and albedo_align_ratio is not None:
+                # eval-time albedo alignment: the fitted per-channel ratio
+                # scales the material albedo so relighting uses aligned
+                # colors (`models/intrinsic_avatar.py:1114-1115`)
+                alb0, rest0 = split_channels(mats, [3, mats.shape[-1] - 3])
+                mats = jnp.concatenate(
+                    [alb0 * albedo_align_ratio[None, :], rest0], -1)
             if flags.training and flags.jitter_materials:
                 pos_j = pos_cano + jax.random.normal(k_jit, pos_cano.shape) \
                     * 0.01
@@ -494,14 +505,15 @@ class IntrinsicAvatar:
                 "comp_roughness": roughness_map,
                 "comp_metallic": metallic_map,
             })
-            from intrinsicavatar_tpu.render import pbr as pbr_mod
-            pbr_out = pbr_mod.pbr_forward(
-                self, params, statics, frame, cond, occ, sched,
-                rays_o, rays_d, t_starts, t_ends, smask, weights, trans,
-                sdf.reshape(R, S), mats, normal_smpl.reshape(R, S, 3),
-                k_pbr, step, flags, background_color, lvl,
-                emitter_state=emitter_state)
-            out_dict.update(pbr_out)
+            if not flags.albedo_only:
+                from intrinsicavatar_tpu.render import pbr as pbr_mod
+                pbr_out = pbr_mod.pbr_forward(
+                    self, params, statics, frame, cond, occ, sched,
+                    rays_o, rays_d, t_starts, t_ends, smask, weights, trans,
+                    sdf.reshape(R, S), mats, normal_smpl.reshape(R, S, 3),
+                    k_pbr, step, flags, background_color, lvl,
+                    emitter_state=emitter_state)
+                out_dict.update(pbr_out)
 
         if flags.training:
             out_dict.update({
@@ -551,10 +563,11 @@ class IntrinsicAvatar:
         out_dict["comp_rgb_full"] = jnp.clip(
             linear_to_srgb(rgb_map + bg_rgb * (1.0 - acc_map)), 0.0, 1.0)
         if flags.enable_phys:
-            out_dict["comp_rgb_phys_full"] = jnp.clip(
-                linear_to_srgb(out_dict["comp_rgb_phys"]), 0.0, 1.0)
-            out_dict["comp_demod_phys_full"] = jnp.clip(
-                linear_to_srgb(out_dict["comp_demod_phys"]), 0.0, 1.0)
+            if not flags.albedo_only:
+                out_dict["comp_rgb_phys_full"] = jnp.clip(
+                    linear_to_srgb(out_dict["comp_rgb_phys"]), 0.0, 1.0)
+                out_dict["comp_demod_phys_full"] = jnp.clip(
+                    linear_to_srgb(out_dict["comp_demod_phys"]), 0.0, 1.0)
             bg_scalar = jnp.mean(background_color)
             out_dict["comp_albedo_full"] = (
                 out_dict["comp_albedo"])

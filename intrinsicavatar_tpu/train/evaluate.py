@@ -44,9 +44,33 @@ def build_test_occ_grid(system, params, batch, step, key, resolution=64):
     return occ, frame, cond
 
 
+def fit_albedo_ratio(system, params, batch, step, key,
+                     flags: RenderFlags, ray_chunk: int = 4096,
+                     occ=None, frame=None, cond=None):
+    """Albedo-only pre-pass -> per-channel alignment ratio.
+
+    Mirrors the reference's relighting protocol: a cheap forward with the
+    PBR stage skipped renders ``comp_albedo_full``, a per-channel least
+    squares fit against the GT albedo yields one ratio for the frame, and
+    the FULL render then uses aligned albedo
+    (`systems/intrinsic_avatar.py:598-611`, `models/utils.py:268-277`).
+    """
+    pre = render_frame(system, params, batch, step, key,
+                       flags._replace(albedo_only=True),
+                       ray_chunk=ray_chunk, occ=occ, frame=frame, cond=cond)
+    gt = np.asarray(batch["albedo"]).reshape(-1, 3)
+    m = np.asarray(batch["alpha"]).reshape(-1) > 0.5
+    if "valid_mask" in batch:
+        m &= np.asarray(batch["valid_mask"]).reshape(-1).astype(bool)
+    p = pre["comp_albedo_full"].reshape(-1, 3)[m]
+    g = gt[m]
+    scale = (g * p).sum(0) / np.maximum((p * p).sum(0), 1e-12)
+    return jnp.asarray(scale, jnp.float32)
+
+
 def render_frame(system, params, batch, step, key, flags: RenderFlags,
                  ray_chunk: int = 4096, occ=None, frame=None, cond=None,
-                 emitter_state=None):
+                 emitter_state=None, albedo_align_ratio=None):
     """Chunked full-frame render; returns stitched output maps (numpy).
 
     When the batch carries a test HDRI, the emitter base is replaced and its
@@ -85,17 +109,18 @@ def render_frame(system, params, batch, step, key, flags: RenderFlags,
 
         @functools.partial(jax.jit, static_argnames=("flags",))
         def rc(params, frame, cond, occ, chunk, k, step, bg, emitter_state,
-               flags):
+               ratio, flags):
             return system.model.forward(
                 params, system.statics, frame, cond, occ, chunk, k, step,
                 flags, t_idx=0.0, background_color=bg,
-                emitter_state=emitter_state)
+                emitter_state=emitter_state, albedo_align_ratio=ratio)
 
         system._render_chunk_jit = rc
 
     def render_chunk(chunk, k):
         return rc(params, frame, cond, occ, chunk, k,
-                  jnp.asarray(step, jnp.int32), bg, emitter_state, flags)
+                  jnp.asarray(step, jnp.int32), bg, emitter_state,
+                  albedo_align_ratio, flags)
 
     keep = ("comp_rgb_full", "comp_normal", "opacity", "depth",
             "comp_rgb_phys_full", "comp_demod_phys_full", "comp_albedo_full",
@@ -112,8 +137,23 @@ def render_frame(system, params, batch, step, key, flags: RenderFlags,
     return stitched
 
 
-def frame_metrics(out: dict, batch: dict, img_wh=None) -> dict:
-    """PSNR/SSIM (+ normal error, aligned albedo) for one frame."""
+_LPIPS_FN = "unset"
+
+
+def _lpips_cached():
+    global _LPIPS_FN
+    if _LPIPS_FN == "unset":
+        _LPIPS_FN = M.lpips_fn()
+    return _LPIPS_FN
+
+
+def frame_metrics(out: dict, batch: dict, img_wh=None,
+                  albedo_prealigned: bool = False) -> dict:
+    """PSNR/SSIM/LPIPS (+ normal error, aligned albedo) for one frame.
+
+    ``albedo_prealigned``: the render already applied the pre-pass
+    alignment ratio (:func:`fit_albedo_ratio`) — report plain albedo PSNR
+    instead of re-fitting inside the metric."""
     m: dict = {}
     gt = np.asarray(batch["rgb"])
     mask = np.asarray(batch.get("valid_mask",
@@ -133,8 +173,23 @@ def frame_metrics(out: dict, batch: dict, img_wh=None) -> dict:
             mask & (np.asarray(batch["alpha"]) > 0))
     if "albedo" in batch and "comp_albedo_full" in out:
         fg = mask & (np.asarray(batch["alpha"]) > 0)
-        m["albedo_psnr"], m["albedo_scale"] = M.albedo_aligned_metrics(
-            out["comp_albedo_full"], np.asarray(batch["albedo"]), fg)
+        if albedo_prealigned:
+            pred_alb = np.clip(out["comp_albedo_full"], 0.0, 1.0)
+            m["albedo_psnr"] = M.masked_psnr(
+                pred_alb, np.asarray(batch["albedo"]), fg)
+        else:
+            m["albedo_psnr"], m["albedo_scale"] = M.albedo_aligned_metrics(
+                out["comp_albedo_full"], np.asarray(batch["albedo"]), fg)
+    lp = _lpips_cached()
+    if lp is not None and img_wh is not None:
+        W, H = img_wh
+        try:
+            m["lpips"] = lp(out["comp_rgb_full"].reshape(H, W, 3),
+                            gt.reshape(H, W, 3),
+                            np.asarray(batch["alpha"]).reshape(H, W) > 0)
+        except TypeError:
+            m["lpips"] = lp(out["comp_rgb_full"].reshape(H, W, 3),
+                            gt.reshape(H, W, 3))
     return m
 
 

@@ -95,6 +95,114 @@ def test_phys_forward(setup):
     assert float(out["comp_rgb_phys"].max()) > 0.0
 
 
+@pytest.mark.parametrize("mode", ["light", "mats", "mis"])
+def test_eval_render_modes(setup, mode):
+    """The three eval PBR modes (`models/intrinsic_avatar.py:1344-1436`)
+    produce finite, non-trivial physically based renders."""
+    m = setup["model"]
+    flags = RenderFlags(training=False, enable_phys=True,
+                        importance_sample=True, randomized=False,
+                        render_mode=mode)
+    out = m.forward(setup["params"], setup["statics"], setup["frame"],
+                    setup["cond"], setup["occ"], setup["rays"],
+                    jax.random.PRNGKey(4), 11000, flags,
+                    background_color=jnp.zeros(3))
+    R = setup["rays"].shape[0]
+    assert out["comp_rgb_phys"].shape == (R, 3)
+    for k in ("comp_rgb_phys", "comp_demod_phys", "comp_albedo"):
+        assert np.all(np.isfinite(np.asarray(out[k]))), f"{mode}/{k}"
+    assert float(out["comp_rgb_phys"].max()) > 0.0, mode
+
+
+def test_render_mode_estimators_agree_in_expectation(setup):
+    """uniform_light / light / mats / mis are Monte-Carlo estimators of the
+    same rendering integral (`models/intrinsic_avatar.py:624-645` MIS
+    semantics): seed-averaged renders must agree."""
+    m = setup["model"]
+    means = {}
+    for mode in ("uniform_light", "light", "mis"):
+        acc = []
+        for s in range(6):
+            flags = RenderFlags(training=False, enable_phys=True,
+                                importance_sample=False, randomized=False,
+                                render_mode=mode)
+            out = m.forward(setup["params"], setup["statics"],
+                            setup["frame"], setup["cond"], setup["occ"],
+                            setup["rays"], jax.random.PRNGKey(100 + s),
+                            11000, flags, background_color=jnp.zeros(3))
+            acc.append(np.asarray(out["comp_rgb_phys"]))
+        means[mode] = np.stack(acc).mean(0)
+    fg = means["uniform_light"].sum(-1) > 1e-4
+    assert fg.any()
+    ref = means["uniform_light"][fg]
+    for mode in ("light", "mis"):
+        rel = (np.abs(means[mode][fg] - ref).mean()
+               / max(np.abs(ref).mean(), 1e-6))
+        assert rel < 0.35, f"{mode} estimator disagrees: rel={rel:.3f}"
+    # MIS (two strategies) should not be noisier than single-strategy light
+    # sampling on this diffuse-dominant scene — sanity, not a tight bound
+
+
+def test_gi_off_and_add_emitter_branches():
+    """global_illumination=False and add_emitter=True branches
+    (`render/pbr.py:207,304-319`) run and stay finite."""
+    from intrinsicavatar_tpu.utils.config import merge
+    cfg = tiny_config()
+    cfg = merge(cfg, {"model": {"global_illumination": False,
+                                "add_emitter": True}})
+    model = IntrinsicAvatar(cfg.model)
+    statics = model.initialize(np.zeros(10))
+    params = model.init(jax.random.PRNGKey(0))
+    batch = {
+        "index": jnp.asarray([0]), "betas": jnp.zeros(10),
+        "body_pose": jnp.zeros(69), "global_orient": jnp.zeros(3),
+        "transl": jnp.asarray([0.0, 0.3, 2.0]),
+    }
+    frame, cond = model.prepare(params, statics, batch, global_step=0)
+    occ = make_occ_grid(np.asarray(cfg.model.scene_aabb)[None],
+                        resolution=cfg.model.occ_resolution)
+    rng = np.random.default_rng(1)
+    target = np.array([0.0, 0.3, 2.0]) + rng.normal(scale=0.15, size=(8, 3))
+    rays_d = (target / np.linalg.norm(target, axis=-1, keepdims=True)
+              ).astype(np.float32)
+    rays = jnp.asarray(np.concatenate(
+        [np.zeros((8, 3), np.float32), rays_d,
+         np.full((8, 1), 1.0, np.float32),
+         np.full((8, 1), 3.0, np.float32)], -1))
+    flags = RenderFlags(training=False, enable_phys=True,
+                        importance_sample=False, randomized=False,
+                        render_mode="light")
+    out = model.forward(params, statics, frame, cond, occ, rays,
+                        jax.random.PRNGKey(5), 11000, flags,
+                        background_color=jnp.zeros(3))
+    for k in ("comp_rgb_phys", "comp_rgb_phys_full"):
+        assert np.all(np.isfinite(np.asarray(out[k]))), k
+
+
+def test_albedo_only_prepass_and_alignment(setup):
+    """albedo_only skips the PBR stage; albedo_align_ratio scales the
+    eval albedo (`models/intrinsic_avatar.py:222,1114-1115,1290`)."""
+    m = setup["model"]
+    flags = RenderFlags(training=False, enable_phys=True,
+                        importance_sample=False, randomized=False,
+                        albedo_only=True)
+    out = m.forward(setup["params"], setup["statics"], setup["frame"],
+                    setup["cond"], setup["occ"], setup["rays"],
+                    jax.random.PRNGKey(6), 11000, flags,
+                    background_color=jnp.zeros(3))
+    assert "comp_albedo" in out and "comp_rgb_phys" not in out
+    ratio = jnp.asarray([2.0, 1.0, 0.5])
+    out2 = m.forward(setup["params"], setup["statics"], setup["frame"],
+                     setup["cond"], setup["occ"], setup["rays"],
+                     jax.random.PRNGKey(6), 11000, flags,
+                     background_color=jnp.zeros(3),
+                     albedo_align_ratio=ratio)
+    np.testing.assert_allclose(np.asarray(out2["comp_albedo"]),
+                               np.asarray(out["comp_albedo"])
+                               * np.asarray(ratio)[None], rtol=1e-5,
+                               atol=1e-7)
+
+
 def test_phys_grad_flows(setup):
     m = setup["model"]
     flags = RenderFlags(training=True, enable_phys=True,
