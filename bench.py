@@ -108,7 +108,7 @@ def bench_train(n_rays, bench_step, metric, grad_accum):
     emit(metric, n_rays * n_iters / dt, "rays/s")
 
 
-def bench_relight(ray_chunk=512, spp=1024):
+def bench_relight(ray_chunk=256, spp=1024):
     """Eval-mode `light` render with a test HDRI (the relight protocol)."""
     import jax
     import jax.numpy as jnp

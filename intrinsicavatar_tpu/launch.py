@@ -167,6 +167,10 @@ def main(argv=None):
                     if getattr(val_ds, "img_wh", None):
                         EV.dump_frame_images(val_dir, f"it{step}_f{i}", out,
                                              b_np, val_ds.img_wh)
+                        W_, H_ = val_ds.img_wh
+                        logger.log_image(
+                            step, f"val/rgb_f{i}",
+                            out["comp_rgb_full"].reshape(H_, W_, 3))
                 mean = {k: float(np.mean(v)) for k, v in agg.items()
                         if v and v[0] is not None}
                 print(f"[val @ {step}] " + " ".join(

@@ -49,12 +49,29 @@ def compact_indices(mask: jax.Array, budget: int):
     return idx, mask[idx]
 
 
+def compact_indices_interleaved(mask2d: jax.Array, budget: int):
+    """Valid-first indices over a ``[R, S]`` mask in SAMPLE-major order.
+
+    Budget overflow then drops the far samples of *every* ray (whose
+    contribution is transmittance-attenuated) instead of every sample of
+    the trailing rays — ray-major ordering turns overflow into a spatial
+    bias where whole rays at the end of the batch go empty.
+
+    Returns ``(flat ray-major indices [budget], picked [budget])``.
+    """
+    R, S = mask2d.shape
+    idx_sm, picked = compact_indices(mask2d.T.reshape(-1), budget)
+    lane = (idx_sm % R) * S + idx_sm // R
+    return lane, picked
+
+
 def compact_apply(
     fn: Callable,
     points: jax.Array,
     mask: jax.Array,
     budget: int,
     fills: Sequence,
+    mask2d: jax.Array | None = None,
 ):
     """Apply ``fn`` to the compacted valid subset of ``points``.
 
@@ -65,11 +82,17 @@ def compact_apply(
       budget: static K <= M.
       fills: per-output fill value (scalar or [...]-shaped) for slots that
         are invalid / not evaluated.
+      mask2d: optional ``[R, S]`` view of ``mask`` — selects sample-major
+        compaction order (graceful overflow, see
+        :func:`compact_indices_interleaved`).
 
     Returns a tuple of ``[M, ...]`` arrays.
     """
     M = points.shape[0]
-    idx, picked = compact_indices(mask, budget)
+    if mask2d is not None:
+        idx, picked = compact_indices_interleaved(mask2d, budget)
+    else:
+        idx, picked = compact_indices(mask, budget)
     out = fn(points[idx])
     if not isinstance(out, (tuple, list)):
         out = (out,)

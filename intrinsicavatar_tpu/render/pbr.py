@@ -106,7 +106,7 @@ def compute_indirect_radiance(model, params, statics, frame, cond, sched,
     rays_o = jax.lax.stop_gradient(rays_o)
     rays_d = jax.lax.stop_gradient(rays_d)
     M = rays_o.shape[0]
-    chunk = int(model.config.get("secondary_shader_chunk", 65536))
+    chunk = int(model.config.get("secondary_shader_chunk", 32768))
     if M > chunk:
         n = -(-M // chunk)
         pad = n * chunk - M
@@ -151,7 +151,7 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
         out = model._deform_query(params, statics, frame, cond, pos, sched,
                                   with_grad=False, with_feature=False,
                                   eval_mode=True, global_step=step,
-                                  mask=smask.reshape(-1))
+                                  mask=smask.reshape(-1), mask2d=smask)
         sdf = jax.lax.stop_gradient(out[1]).reshape(t_starts.shape)
         alphas = model.get_alpha(params, sdf, t_ends - t_starts, step)
         alphas = jax.lax.stop_gradient(jnp.where(smask, alphas, 0.0))
@@ -173,7 +173,7 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
     out = model._deform_query(params, statics, frame, cond, pos, sched,
                               with_grad=True, with_feature=True,
                               eval_mode=True, global_step=step,
-                              mask=smask.reshape(-1))
+                              mask=smask.reshape(-1), mask2d=smask)
     pos_cano, sdf, _, sdf_grad, _, feat = out[:6]
     normal_world = model.deformer.rigid.transform_dirs_s2w(frame, sdf_grad)
     dirs_world = model.deformer.rigid.transform_dirs_s2w(

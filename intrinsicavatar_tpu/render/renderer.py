@@ -162,13 +162,15 @@ class IntrinsicAvatar:
     def _deform_query(self, params, statics, frame, cond, pts, sched,
                       with_grad, with_feature, with_laplace=False,
                       eval_mode=True, rng=None, global_step=0, mask=None,
-                      budget=None):
+                      budget=None, mask2d=None):
         """Canonicalize + query geometry; returns the deformer output list.
 
         When ``mask`` is given and query compaction is enabled, only a fixed
         budget of valid points runs the (expensive) Broyden search + field
         query; the rest receive neutral fills (sdf=1e5 -> alpha=0) — the
         TPU-native replacement for the reference's ragged packed evaluation.
+        ``mask2d`` (the ``[R, S]`` view of ``mask``) selects sample-major
+        compaction so budget overflow drops far samples, not whole rays.
         """
 
         def geometry_fn(xc):
@@ -201,7 +203,8 @@ class IntrinsicAvatar:
             fills.append(0.0)
         if with_laplace:
             fills.append(0.0)
-        return list(compact_apply(query, pts, mask, budget, fills))
+        return list(compact_apply(query, pts, mask, budget, fills,
+                                  mask2d=mask2d))
 
     def get_alpha(self, params, sdf, dists, step):
         beta = self.density.get_beta(params["density"], step)
@@ -236,7 +239,8 @@ class IntrinsicAvatar:
         out = self._deform_query(params, statics, frame, cond, pos, sched,
                                  with_grad=False, with_feature=False,
                                  eval_mode=True, global_step=step,
-                                 mask=qmask.reshape(-1), budget=nb)
+                                 mask=qmask.reshape(-1), budget=nb,
+                                 mask2d=qmask)
         sdf_new = jax.lax.stop_gradient(out[1]).reshape(R, E)
         if prev_sdf is not None:
             sdf = jnp.where(is_new, sdf_new, prev_sdf)
@@ -373,13 +377,14 @@ class IntrinsicAvatar:
         frac = self.config.get("query_compaction", 0.5)
         use_compact = bool(frac) and Mfull >= 4096
         if use_compact:
-            from intrinsicavatar_tpu.ops.compact import compact_indices
+            from intrinsicavatar_tpu.ops.compact import (
+                compact_indices_interleaved)
             # +1/8 headroom over the nominal fraction: the sample-validity
             # fraction hovers around frac itself after importance merging
             budget = int(np.ceil(Mfull * min(1.0, float(frac) + 0.125)
                                  / 128.0)) * 128
             budget = min(max(budget, 128), Mfull)
-            sidx, spicked = compact_indices(smask.reshape(-1), budget)
+            sidx, spicked = compact_indices_interleaved(smask, budget)
             pos_q = pos[sidx]
             dirs_q = jnp.repeat(rays_d, S, axis=0)[sidx]
             dists_q = dists.reshape(-1)[sidx]

@@ -44,6 +44,15 @@ class MetricLogger:
         if self.wandb is not None:
             self.wandb.log(scalars, step=step)
 
+    def log_image(self, step: int, name: str, image):
+        """Image logging (`systems/intrinsic_avatar.py:540-542` logs the
+        validation grids to wandb); silently a no-op without wandb — disk
+        dumps remain the primary record."""
+        if self.wandb is not None:
+            import wandb
+
+            self.wandb.log({name: wandb.Image(image)}, step=step)
+
     def close(self):
         self._f.close()
         if self.wandb is not None:

@@ -327,21 +327,3 @@ def test_corner_packed_sampler_equivalence(rng):
         for c in range(C):
             np.testing.assert_allclose(np.asarray(out[c]),
                                        np.asarray(ref[c]), atol=1e-6)
-
-
-def test_pallas_voxel_sampler_interpret(rng):
-    """Pallas trilinear sampler matches the jnp reference (interpret mode)."""
-    from intrinsicavatar_tpu.ops.pallas_voxel import trilinear_sample_pallas
-
-    D, H, W, C = 16, 64, 64, 4
-    vox = rng.normal(size=(C, D * H * W)).astype(np.float32)
-    M = 2000
-    cx = jnp.asarray(rng.uniform(-1.2, 1.2, M).astype(np.float32))
-    cy = jnp.asarray(rng.uniform(-1.2, 1.2, M).astype(np.float32))
-    cz = jnp.asarray(rng.uniform(-1.2, 1.2, M).astype(np.float32))
-    ref = B.grid_sample_channels(
-        [jnp.asarray(vox[c]) for c in range(C)], (D, H, W), cx, cy, cz)
-    out = trilinear_sample_pallas(jnp.asarray(vox), (D, H, W), cx, cy, cz)
-    for c in range(C):
-        np.testing.assert_allclose(np.asarray(out[c]), np.asarray(ref[c]),
-                                   atol=1e-6)

@@ -75,3 +75,22 @@ def test_compact_grad_flows(rng):
     g = np.asarray(jax.grad(loss)(w))
     ref = np.asarray(pts)[np.asarray(mask)].sum(0)
     np.testing.assert_allclose(g, ref, rtol=1e-5)
+
+
+def test_compact_indices_interleaved_drops_far_samples():
+    """Sample-major compaction: overflow must drop the FAR samples of each
+    ray, never every sample of the trailing rays."""
+    import jax.numpy as jnp
+    import numpy as np
+    from intrinsicavatar_tpu.ops.compact import compact_indices_interleaved
+
+    R, S = 4, 8
+    mask = jnp.ones((R, S), bool)          # fully valid: 32 lanes
+    lane, picked = compact_indices_interleaved(mask, 16)  # half budget
+    lane = np.asarray(lane)
+    assert np.asarray(picked).all()
+    rays, samples = lane // S, lane % S
+    # every ray keeps its first S/2 samples
+    for r in range(R):
+        kept = np.sort(samples[rays == r])
+        np.testing.assert_array_equal(kept, np.arange(S // 2))

@@ -143,6 +143,49 @@ def test_render_mode_estimators_agree_in_expectation(setup):
     # sampling on this diffuse-dominant scene — sanity, not a tight bound
 
 
+def test_secondary_shader_chunking_matches_monolithic(setup):
+    """`secondary_shader_chunk` lax.map chunking must reproduce the
+    monolithic secondary march exactly (role of the reference's
+    `configs/config.yaml:51`)."""
+    from intrinsicavatar_tpu.render.pbr import compute_indirect_radiance
+    m = setup["model"]
+    params = setup["params"]
+    frame, cond = setup["frame"], setup["cond"]
+    sched = m._schedules(0)
+    occ = setup["occ"]
+    rng = np.random.default_rng(5)
+    M = 64
+    # secondary rays from near the body surface, random directions
+    pos = jnp.asarray(np.asarray(frame.vertices)[
+        rng.integers(0, frame.vertices.shape[0], M)])
+    dirs = rng.normal(size=(M, 3))
+    dirs = jnp.asarray((dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
+                       .astype(np.float32))
+    flags = RenderFlags(training=False, enable_phys=True,
+                        importance_sample=False, randomized=False)
+    # disable query compaction: chunked and monolithic runs pool budgets
+    # over different lane sets, so exact equality needs no budget drops
+    old_qc = m.config.get("query_compaction", 0.5)
+    old = m.config.get("secondary_shader_chunk", None)
+    m.config["query_compaction"] = 0
+    try:
+        tr1, rgb1 = compute_indirect_radiance(
+            m, params, setup["statics"], frame, cond, sched,
+            occ.binaries[0], occ.aabbs[0], pos, dirs, 11000, flags)
+        m.config["secondary_shader_chunk"] = 16   # force the lax.map path
+        tr2, rgb2 = compute_indirect_radiance(
+            m, params, setup["statics"], frame, cond, sched,
+            occ.binaries[0], occ.aabbs[0], pos, dirs, 11000, flags)
+    finally:
+        m.config["query_compaction"] = old_qc
+        if old is None:
+            m.config.pop("secondary_shader_chunk")
+        else:
+            m.config["secondary_shader_chunk"] = old
+    np.testing.assert_allclose(np.asarray(tr1), np.asarray(tr2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb2), atol=1e-5)
+
+
 def test_gi_off_and_add_emitter_branches():
     """global_illumination=False and add_emitter=True branches
     (`render/pbr.py:207,304-319`) run and stay finite."""
