@@ -254,22 +254,36 @@ class CapsuleImageDataset:
     def _frame(self, idx):
         if idx not in self._cache:
             W, H = self.img_wh
-            self._cache[idx] = render_capsule_body(
+            gt = render_capsule_body(
                 self.joints[idx], self.rays_o.reshape(-1, 3),
                 self.rays_d.reshape(-1, 3), albedos=self.albedos)
+            # eval bbox mask (dilated fg bounding box, RANA-style
+            # `valid_mask` of Appendix A)
+            a = gt["alpha"].reshape(H, W) > 0
+            vm = np.zeros((H, W), bool)
+            if a.any():
+                ys, xs = np.where(a)
+                py = max(8, (ys.max() - ys.min()) // 8)
+                px = max(8, (xs.max() - xs.min()) // 8)
+                vm[max(0, ys.min() - py):ys.max() + py,
+                   max(0, xs.min() - px):xs.max() + px] = True
+            gt["valid_mask"] = vm.reshape(-1).astype(np.float32)
+            self._cache[idx] = gt
         return self._cache[idx]
 
     def __getitem__(self, idx):
         W, H = self.img_wh
         gt = self._frame(idx)
         if self.sampler is not None:
-            msk, img, alb, nrm, ro, rd = self.sampler.sample(
+            msk, img, alb, nrm, vm, ro, rd = self.sampler.sample(
                 gt["alpha"].reshape(H, W), gt["rgb"].reshape(H, W, 3),
                 gt["albedo"].reshape(H, W, 3), gt["normal"].reshape(H, W, 3),
-                self.rays_o, self.rays_d)
+                gt["valid_mask"].reshape(H, W, 1), self.rays_o, self.rays_d)
+            vm = vm[:, 0]
         else:
             msk = gt["alpha"]
             img, alb, nrm = gt["rgb"], gt["albedo"], gt["normal"]
+            vm = gt["valid_mask"]
             ro = self.rays_o.reshape(-1, 3)
             rd = self.rays_d.reshape(-1, 3)
         near, far = near_far_from_transl(self.transl[idx], len(rd))
@@ -280,6 +294,7 @@ class CapsuleImageDataset:
             "alpha": msk.astype(np.float32),
             "albedo": alb.astype(np.float32),
             "normal": nrm.astype(np.float32),
+            "valid_mask": vm.astype(np.float32),
             **self.pose_batch(idx),
             "t_idx": idx / self.n_frames,
         }
