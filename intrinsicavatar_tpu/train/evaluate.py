@@ -156,6 +156,14 @@ def frame_metrics(out: dict, batch: dict, img_wh=None,
     instead of re-fitting inside the metric."""
     m: dict = {}
     gt = np.asarray(batch["rgb"])
+    # composite GT over the eval background (white, matching render_frame)
+    # by its alpha mask — the reference's preprocess_data does exactly this
+    # before val/test metrics (`systems/intrinsic_avatar.py:138-144`)
+    if "alpha" in batch:
+        # clip handles ZJU's ignore label (alpha=100): ignored pixels keep
+        # their GT value and are excluded by valid_mask anyway
+        a = np.clip(np.asarray(batch["alpha"]).reshape(-1, 1), 0.0, 1.0)
+        gt = gt * a + 1.0 * (1.0 - a)
     mask = np.asarray(batch.get("valid_mask",
                                 np.ones(gt.shape[0], bool))).astype(bool)
     pred = out["comp_rgb_full"]
@@ -200,7 +208,11 @@ def dump_frame_images(out_dir: str, name: str, out: dict, batch: dict,
     W, H = img_wh
     imgs = []
     if "rgb" in batch:
-        imgs.append(np.asarray(batch["rgb"]).reshape(H, W, 3))
+        gt = np.asarray(batch["rgb"]).reshape(H, W, 3)
+        if "alpha" in batch:
+            a = np.clip(np.asarray(batch["alpha"]).reshape(H, W, 1), 0., 1.)
+            gt = gt * a + 1.0 * (1.0 - a)
+        imgs.append(gt)
     imgs.append(out["comp_rgb_full"].reshape(H, W, 3))
     imgs.append(out["comp_normal"].reshape(H, W, 3) * 0.5 + 0.5)
     imgs.append(np.repeat(out["opacity"].reshape(H, W, 1), 3, -1))
