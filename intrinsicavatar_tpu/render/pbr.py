@@ -129,6 +129,20 @@ def compute_indirect_radiance(model, params, statics, frame, cond, sched,
                           flags, active)
 
 
+def _secondary_budget(model, smask):
+    """Static query budget for secondary-ray field queries.
+
+    Secondary rays mostly escape the occupancy grid within a few steps, so
+    their valid-sample fraction is far below the primary passes' ~0.5;
+    `secondary_query_compaction` (default 0.25) sizes the budget.  Budget
+    overflow degrades gracefully: sample-major compaction drops the far,
+    transmittance-attenuated samples of each ray.
+    """
+    frac = float(model.config.get("secondary_query_compaction", 0.25))
+    M = smask.shape[0] * smask.shape[1]
+    return min(max(int(-(-M * frac // 128)) * 128, 128), M)
+
+
 def _indirect_impl(model, params, statics, frame, cond, sched,
                    occ_binaries, occ_aabb, rays_o, rays_d, step,
                    flags, active=None):
@@ -151,7 +165,8 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
         out = model._deform_query(params, statics, frame, cond, pos, sched,
                                   with_grad=False, with_feature=False,
                                   eval_mode=True, global_step=step,
-                                  mask=smask.reshape(-1), mask2d=smask)
+                                  mask=smask.reshape(-1), mask2d=smask,
+                                  budget=_secondary_budget(model, smask))
         sdf = jax.lax.stop_gradient(out[1]).reshape(t_starts.shape)
         alphas = model.get_alpha(params, sdf, t_ends - t_starts, step)
         alphas = jax.lax.stop_gradient(jnp.where(smask, alphas, 0.0))
@@ -173,7 +188,8 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
     out = model._deform_query(params, statics, frame, cond, pos, sched,
                               with_grad=True, with_feature=True,
                               eval_mode=True, global_step=step,
-                              mask=smask.reshape(-1), mask2d=smask)
+                              mask=smask.reshape(-1), mask2d=smask,
+                              budget=_secondary_budget(model, smask))
     pos_cano, sdf, _, sdf_grad, _, feat = out[:6]
     normal_world = model.deformer.rigid.transform_dirs_s2w(frame, sdf_grad)
     dirs_world = model.deformer.rigid.transform_dirs_s2w(
