@@ -71,6 +71,13 @@ def main(argv=None):
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent compilation cache: milestone recompiles (occ re-init,
+    # phys kick-in) and restarted runs reuse prior executables
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     from intrinsicavatar_tpu.utils.config import (
         load_yaml, merge, resolve, apply_dotlist,
     )

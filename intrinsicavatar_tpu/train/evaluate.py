@@ -27,15 +27,31 @@ from intrinsicavatar_tpu.utils import saver
 
 def build_test_occ_grid(system, params, batch, step, key, resolution=64):
     """Fresh per-frame grid in deformed space
-    (`models/intrinsic_avatar.py:286-305,307-381`)."""
+    (`models/intrinsic_avatar.py:286-305,307-381`).
+
+    jitted once per system (eager execution over a TPU tunnel runs this
+    64^3 x 3-sample occupancy eval op-by-op — minutes per frame)."""
     model = system.model
-    frame, cond = model.prepare(params, system.statics, batch, step)
-    sched = model._schedules(step)
-    aabb2 = model.deformer.rigid.get_bbox_deformed(frame)
-    aabb = jnp.concatenate([aabb2[0], aabb2[1]])
-    fn = model.occ_eval_fn(params, system.statics, frame, cond, sched, step)
-    binaries = compute_test_occ_grid(fn, aabb, key, resolution=resolution,
-                                     occ_thre=0.01)
+    fn = getattr(system, "_test_occ_jit", None)
+    if fn is None:
+        def _build(params, step, key, batch):
+            frame, cond = model.prepare(params, system.statics, batch, step)
+            sched = model._schedules(step)
+            aabb2 = model.deformer.rigid.get_bbox_deformed(frame)
+            aabb = jnp.concatenate([aabb2[0], aabb2[1]])
+            occ_fn = model.occ_eval_fn(params, system.statics, frame, cond,
+                                       sched, step)
+            binaries = compute_test_occ_grid(occ_fn, aabb, key,
+                                             resolution=resolution,
+                                             occ_thre=0.01)
+            return binaries, aabb, frame, cond
+
+        fn = jax.jit(_build)
+        system._test_occ_jit = fn
+
+    b = {k: v for k, v in batch.items() if k != "hdri"}
+    binaries, aabb, frame, cond = fn(
+        params, jnp.asarray(step, jnp.int32), key, b)
     occ = OccGridState(
         occs=jnp.zeros((1, resolution**3)),
         binaries=binaries[None],

@@ -433,22 +433,34 @@ class IntrinsicAvatarSystem:
 
     def reinit_occupancy_grid(self, state: TrainState, batches):
         """Re-create the grid with one level per frame in deformed space
-        (`systems/intrinsic_avatar.py:46-79`, milestone step 8000)."""
+        (`systems/intrinsic_avatar.py:46-79`, milestone step 8000).
+
+        The per-frame build (SMPL prepare + 64^3 x 3 jittered occupancy
+        eval + morphology) runs as ONE jitted function reused across
+        frames — eager execution of this path takes minutes per frame
+        over a TPU tunnel."""
         res = self.config.model.get("occ_resolution", 64)
+        occ_thre = self.config.model.get("grid_prune_occ_thre", 0.001)
+
+        @jax.jit
+        def one_frame(params, step, k, batch):
+            frame, cond = self.model.prepare(params, self.statics, batch,
+                                             step)
+            sched = self.model._schedules(step)
+            aabb2 = self.model.deformer.rigid.get_bbox_deformed(frame)
+            aabb = jnp.concatenate([aabb2[0], aabb2[1]])
+            fn = self.model.occ_eval_fn(params, self.statics, frame, cond,
+                                        sched, step)
+            binary = compute_test_occ_grid(fn, aabb, k, resolution=res,
+                                           occ_thre=occ_thre)
+            return binary, aabb
+
         binaries, aabbs = [], []
         rng = state.rng
         for batch in batches:
             rng, k = jax.random.split(rng)
-            frame, cond = self.model.prepare(state.params, self.statics,
-                                             batch, state.step)
-            sched = self.model._schedules(state.step)
-            aabb = self.model.deformer.rigid.get_bbox_deformed(frame)
-            aabb = jnp.concatenate([aabb[0], aabb[1]])
-            fn = self.model.occ_eval_fn(state.params, self.statics, frame,
-                                        cond, sched, state.step)
-            binaries.append(compute_test_occ_grid(
-                fn, aabb, k, resolution=res,
-                occ_thre=self.config.model.get("grid_prune_occ_thre", 0.001)))
+            binary, aabb = one_frame(state.params, state.step, k, batch)
+            binaries.append(binary)
             aabbs.append(aabb)
         occ = OccGridState(
             occs=jnp.zeros((len(batches), res**3)),
