@@ -221,6 +221,7 @@ class BroydenResult(NamedTuple):
     z: jax.Array
     j_inv: tuple       # 9 x [M], row-major (J00..J22)
     valid: jax.Array   # [M] bool
+    overflow: jax.Array = 0  # scalar: phase-2 lanes dropped over budget
 
     def xc_array(self):
         return jnp.stack([self.x, self.y, self.z], axis=-1)
@@ -404,7 +405,7 @@ def broyden_search(
         return BroydenResult(
             x=s[20] * vf, y=s[21] * vf, z=s[22] * vf,
             j_inv=tuple(s[23 + i] * vf for i in range(9)),
-            valid=valid,
+            valid=valid, overflow=jnp.zeros((), jnp.int32),
         )
 
     s = jax.lax.fori_loop(0, _PHASE1_ITERS, body, state)
@@ -417,6 +418,7 @@ def broyden_search(
     pos = jnp.cumsum(active.astype(jnp.int32)) - 1     # slot per active lane
     lane_ids = jnp.arange(M, dtype=jnp.int32)
     dest = jnp.where(active & (pos < M2), pos, M2)     # overflow -> dropped
+    n_overflow = jnp.sum((active & (pos >= M2)).astype(jnp.int32))
     idx = jnp.full((M2,), M, jnp.int32).at[dest].set(lane_ids, mode="drop")
     slot_live = idx < M
     idx_c = jnp.minimum(idx, M - 1)
@@ -444,7 +446,7 @@ def broyden_search(
     return BroydenResult(
         x=outs[0] * vf, y=outs[1] * vf, z=outs[2] * vf,
         j_inv=tuple(outs[3 + i] * vf for i in range(9)),
-        valid=valid,
+        valid=valid, overflow=n_overflow,
     )
 
 

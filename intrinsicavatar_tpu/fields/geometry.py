@@ -121,20 +121,29 @@ class VolumeSDF:
                 comps.append(gi)
             return jnp.stack(comps, axis=-1)
         if mode == "analytic":
-            # Fully explicit chain rule: d sdf/dx = (dEnc/dx)^T (d sdf/dEnc)
-            # with BOTH factors written as first-order expressions — manual
-            # MLP backprop (VanillaMLP.value_and_input_grad) and the
-            # closed-form trilerp pullback (hashgrid_encode_vjp_x).  Any
-            # jax-generated grad-of-grad through this chain SIGILLs the
-            # XLA:TPU fusion pass (see repo memory / round-1 bisection).
-            xn = self._normalize(x)
-            enc = hashgrid_encode(params["table"], xn, self.spec, level_mask)
-            _, g_enc = self.mlp.value_and_input_grad(params["mlp"], enc)
-            grad_n = hashgrid_encode_vjp_x(params["table"], xn, self.spec,
-                                           g_enc, level_mask)
+            # Fused custom-VJP composition (ops.encode_grad): one gather
+            # pass produces (feat, grad) and the hand-written backward
+            # keeps the training loss's grad-of-grad first-order — the
+            # jax-generated second-order graph through the encode both
+            # SIGILLs the XLA:TPU fusion pass (round-1 bisection) and
+            # costs ~10x the forward in re-gather/scatter traffic.
+            _, grad_n = self._fused_encode_grad(params, x, level_mask)
             # chain d xn/dx = 1/scale per axis
             return grad_n / jnp.asarray(self.scale)[None, :]
         return jax.grad(lambda p: jnp.sum(self.sdf(params, p, level_mask)))(x)
+
+    def _fused_encode_grad(self, params, x, level_mask):
+        """``(feat, grad_wrt_normalized_x)`` via the custom-VJP fused op."""
+        from intrinsicavatar_tpu.ops.encode_grad import encode_mlp_sdfgrad
+        xn = self._normalize(x)
+        if level_mask is None:
+            level_mask = jnp.ones(
+                (self.spec.n_levels * self.spec.n_features_per_level,),
+                xn.dtype)
+        feat, grad_n = encode_mlp_sdfgrad(
+            self.spec, self.mlp.value_and_input_grad, params["table"],
+            params["mlp"], xn, level_mask)
+        return feat, grad_n
 
     def _fd_eps(self):
         """Finite-difference step: fixed or 'progressive' (a cell of the
@@ -161,19 +170,15 @@ class VolumeSDF:
         """
         if self.config.get("grad_type", "analytic") == "analytic":
             # fused path: ONE hash encode + ONE MLP pass produce the
-            # feature vector, the SDF, and the input gradient — the split
-            # features() + _point_grad() formulation encodes and runs the
-            # MLP twice (the encode gathers dominate TPU step time)
-            xn = self._normalize(x)
-            enc = hashgrid_encode(params["table"], xn, self.spec, level_mask)
-            feat, g_enc = self.mlp.value_and_input_grad(params["mlp"], enc)
+            # feature vector, the SDF, and the input gradient, sharing the
+            # gathered corner rows; the custom VJP (ops.encode_grad) keeps
+            # the training loss's backward through this first-order
+            feat, grad_n = self._fused_encode_grad(params, x, level_mask)
             if self.sdf_bias:
                 bias = np.zeros(self.feature_dim, np.float32)
                 bias[0] = self.sdf_bias
                 feat = feat + jnp.asarray(bias)
             sdf = take_channel(feat, 0)
-            grad_n = hashgrid_encode_vjp_x(params["table"], xn, self.spec,
-                                           g_enc, level_mask)
             grad = grad_n / jnp.asarray(self.scale)[None, :]
             if not with_laplace:
                 return sdf, grad, feat

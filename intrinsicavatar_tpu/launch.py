@@ -65,6 +65,11 @@ def main(argv=None):
                         help="JAX platform override (e.g. cpu); the sandbox "
                              "pins JAX_PLATFORMS at boot, so the env var "
                              "alone does not work")
+    parser.add_argument("--mesh", type=int, default=None,
+                        help="train ray-sharded over this many devices "
+                             "(default: all devices when more than one; "
+                             "0 disables). Replaces the reference's DDP "
+                             "wiring (launch.py:91-98)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -107,6 +112,15 @@ def main(argv=None):
     dataset = build_dataset(cfg, "train", "train",
                             rng=np.random.default_rng(seed))
     state = system.setup(dataset.betas, key, n_frames=len(dataset))
+
+    if args.mode == "train":
+        n_dev = len(jax.devices())
+        n_mesh = args.mesh if args.mesh is not None else \
+            (n_dev if n_dev > 1 else 0)
+        if n_mesh and n_mesh > 1:
+            from intrinsicavatar_tpu.parallel.sharding import make_mesh
+            system.use_mesh(make_mesh(jax.devices()[:n_mesh]))
+            print(f"training ray-sharded over {n_mesh} devices", flush=True)
 
     if args.resume:
         restored = ckpt.restore_checkpoint(args.resume, state._asdict())
@@ -183,16 +197,18 @@ def main(argv=None):
                 print(f"[val @ {step}] " + " ".join(
                     f"{k}={v:.3f}" for k, v in sorted(mean.items())),
                     flush=True)
-                if ckpt_every and step % ckpt_every == 0:
-                    ckpt.save_checkpoint(
-                        os.path.join(run_dir, "ckpt", f"step{step}"), state)
                 return mean
+
+        def ckpt_fn(state, step):
+            ckpt.save_checkpoint(
+                os.path.join(run_dir, "ckpt", f"step{step}"), state)
 
         state, _ = system.fit(dataset.train_iter(), state, max_steps,
                               log_every=log_every, callback=log,
                               all_frames_fn=all_frames, logger=logger,
                               val_fn=val_fn, val_every=val_every,
-                              betas=dataset.betas)
+                              betas=dataset.betas, ckpt_fn=ckpt_fn,
+                              ckpt_every=ckpt_every)
         ckpt.save_checkpoint(os.path.join(run_dir, "ckpt", "final"), state)
         print("saved checkpoint to", os.path.join(run_dir, "ckpt", "final"))
 

@@ -1,0 +1,386 @@
+"""Fused hash-encode + SDF-MLP + point-gradient with a hand-written backward.
+
+The training loss differentiates the SDF *gradient* (eikonal/normal terms),
+so the encode's input pullback (`ops.hashgrid.hashgrid_encode_vjp_x`) sits
+inside the differentiated region.  Letting XLA autodiff that explicit graph
+re-gathers every corner row, differentiates the dense-level corner packing
+(full-table roll/concat transposes per level per call site) and emits two
+disjoint scatter sets into the hash tables — measured at ~17 s per 2048-ray
+microbatch on v5e (round-2's dominant cost; see README "Measured cost
+model").
+
+This module instead exposes the whole composition
+
+    (table, mlp_params, x) -> (feat = MLP(enc(x)), grad = d feat[0] / dx)
+
+as ONE ``jax.custom_vjp`` whose backward is written in closed form:
+
+  * corner rows are gathered ONCE per level and shared by every term
+    (the encode value, the gradient, and all four pullbacks);
+  * the two table cotangents (encode path ``w_k * d enc`` and gradient path
+    ``u_k * g_enc``) are merged into a single per-level scatter;
+  * dense levels scatter ONE corner-packed row per point (8x fewer scatter
+    rows) and un-pack with the shift-adjoint of ``corner_pack``;
+  * the only second-order autodiff left is through the tiny dense MLP
+    (``jax.vjp`` of the manual input-grad — no gathers, TPU-safe).
+
+Semantics match ``hashgrid_encode`` + ``value_and_input_grad`` +
+``hashgrid_encode_vjp_x`` exactly (tested in ``tests/test_encode_grad.py``),
+including the border behaviour of the corner-packed dense levels and the
+per-corner clamps of the hashed levels.
+
+Reference counterpart: tiny-cuda-nn's fused fp16 encode+MLP with analytic
+input gradients (`models/network_utils.py:58-100`, `models/rf/geometry.py:
+126-171` in taconite/IntrinsicAvatar).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intrinsicavatar_tpu.ops.hashgrid import (
+    HashGridSpec, _hash_corner_idx, _level_coords, _pack_dense_level,
+)
+from intrinsicavatar_tpu.ops.math import vec3_components
+
+# corner k = dx*4 + dy*2 + dz (dz fastest) — the `corner_pack` order
+_BITS_X = np.array([0, 0, 0, 0, 1, 1, 1, 1], np.float32)
+_BITS_Y = np.array([0, 0, 1, 1, 0, 0, 1, 1], np.float32)
+_BITS_Z = np.array([0, 1, 0, 1, 0, 1, 0, 1], np.float32)
+_SGN_X = 2.0 * _BITS_X - 1.0
+_SGN_Y = 2.0 * _BITS_Y - 1.0
+_SGN_Z = 2.0 * _BITS_Z - 1.0
+
+
+def _axis_w8(f, bits):
+    """``[N] frac -> [N, 8]`` per-corner axis weight (f or 1-f by bit)."""
+    b = jnp.asarray(bits)[None, :]
+    return f[:, None] * b + (1.0 - f[:, None]) * (1.0 - b)
+
+
+def _level_setup(xn, spec: HashGridSpec, lvl: int):
+    s = float(spec.scales[lvl])
+    r = int(spec.resolutions[lvl])
+    xx, xy, xz = vec3_components(xn)
+    x0, fx = _level_coords(xx, s)
+    y0, fy = _level_coords(xy, s)
+    z0, fz = _level_coords(xz, s)
+    return s, r, (x0, y0, z0), (fx, fy, fz)
+
+
+def _dense_cell(c0, r):
+    x0, y0, z0 = c0
+    return (jnp.clip(z0, 0, r - 1) * r + jnp.clip(y0, 0, r - 1)) * r \
+        + jnp.clip(x0, 0, r - 1)
+
+
+def _hashed_corner_idx(c0, r, T):
+    """``[N, 8]`` table indices with the hashed path's per-corner clamp."""
+    x0, y0, z0 = c0
+    idx = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                idx.append(_hash_corner_idx(
+                    jnp.clip(x0 + dx, 0, r - 1),
+                    jnp.clip(y0 + dy, 0, r - 1),
+                    jnp.clip(z0 + dz, 0, r - 1), T))
+    return jnp.stack(idx, axis=-1)
+
+
+def _gather_rows(table_l, spec, lvl, r, c0, T):
+    """Corner feature rows ``[N, 8, F]`` for one level (one gather for
+    dense levels via the corner packing, 8 for hashed levels)."""
+    F = table_l.shape[-1]
+    if bool(spec.dense_levels[lvl]):
+        packed = _pack_dense_level(table_l, r)
+        cell = _dense_cell(c0, r)
+        N = cell.shape[0]
+        return jnp.take(packed, cell, axis=0).reshape(N, 8, F), cell, None
+    idx8 = _hashed_corner_idx(c0, r, T)
+    rows = jnp.take(table_l, idx8.reshape(-1), axis=0)
+    return rows.reshape(-1, 8, F), None, idx8
+
+
+def _unshift_border(c, axis):
+    """Adjoint of `corner_pack`'s border shift ``out[d] = v[min(d+1, D-1)]``."""
+    D = c.shape[axis]
+    lead = jax.lax.slice_in_dim(c, 0, D - 1, axis=axis)
+    last = jax.lax.slice_in_dim(c, D - 1, D, axis=axis)
+    zero = jnp.zeros_like(jax.lax.slice_in_dim(c, 0, 1, axis=axis))
+    edge_idx = jax.lax.slice_in_dim(lead, D - 2, D - 1, axis=axis) + last
+    body = jax.lax.slice_in_dim(lead, 0, D - 2, axis=axis)
+    return jnp.concatenate([zero, body, edge_idx], axis=axis)
+
+
+def _corner_pack_T(packed_cot, r, F):
+    """Adjoint of :func:`ops.hashgrid._pack_dense_level`:
+    ``[r^3, 8F] -> [r^3, F]`` table cotangent via shift-adjoints."""
+    cols = packed_cot.T.reshape(8, F, r, r, r)  # [8, F, z, y, x]
+    out = jnp.zeros((F, r, r, r), packed_cot.dtype)
+    k = 0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                v = cols[k]
+                k += 1
+                # forward applied shifts dz (axis z=1+0? no: [F, D=z, H=y, W=x])
+                # in order z, y, x; adjoint undoes in reverse: x, y, z
+                if dx:
+                    v = _unshift_border(v, 3)
+                if dy:
+                    v = _unshift_border(v, 2)
+                if dz:
+                    v = _unshift_border(v, 1)
+                out = out + v
+    return out.reshape(F, r * r * r).T
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def encode_mlp_sdfgrad(spec: HashGridSpec, mlp_pair_fn, table, mlp_params,
+                       xn, level_mask):
+    """``(feat, grad)`` where ``feat = MLP(encode(xn))`` and ``grad`` is the
+    analytic d feat[0] / d xn (the SDF point gradient in *normalized*
+    coordinates).
+
+    ``mlp_pair_fn(mlp_params, enc) -> (feat, d feat[0]/d enc)`` must be a
+    first-order expression (``VanillaMLP.value_and_input_grad``).
+    ``level_mask`` is the progressive-level schedule mask (``[L*F]``,
+    not differentiated).
+    """
+    feat, grad, _ = _forward(spec, mlp_pair_fn, table, mlp_params, xn,
+                             level_mask)
+    return feat, grad
+
+
+def _forward(spec, mlp_pair_fn, table, mlp_params, xn, level_mask):
+    N = xn.shape[0]
+    L, T, F = table.shape
+
+    lvl_cache = []
+    enc_parts = []
+    for lvl in range(L):
+        s, r, c0, f = _level_setup(xn, spec, lvl)
+        rows, cell, idx8 = _gather_rows(table[lvl], spec, lvl, r, c0, T)
+        wx8 = _axis_w8(f[0], _BITS_X)
+        wy8 = _axis_w8(f[1], _BITS_Y)
+        wz8 = _axis_w8(f[2], _BITS_Z)
+        w8 = wx8 * wy8 * wz8
+        enc_parts.append(jnp.einsum("nk,nkf->nf", w8, rows))
+        lvl_cache.append((s, r, rows, cell, idx8, wx8, wy8, wz8, w8))
+
+    enc_levels = jnp.concatenate(enc_parts, axis=-1)        # [N, L*F]
+    enc_levels = enc_levels * level_mask[None, :]
+    if spec.include_xyz:
+        enc = jnp.concatenate(
+            [xn * spec.xyz_scale + spec.xyz_offset, enc_levels], axis=-1)
+    else:
+        enc = enc_levels
+
+    feat, g_enc = mlp_pair_fn(mlp_params, enc)
+
+    # gradient from the SAME rows (no second gather pass)
+    if spec.include_xyz:
+        g_xyz = g_enc[:, :3]
+        g_lvls = g_enc[:, 3:]
+    else:
+        g_xyz = None
+        g_lvls = g_enc
+    g_used = (g_lvls * level_mask[None, :]).reshape(N, L, F)
+
+    gx = jnp.zeros((N,), xn.dtype)
+    gy = jnp.zeros((N,), xn.dtype)
+    gz = jnp.zeros((N,), xn.dtype)
+    sx = jnp.asarray(_SGN_X)[None, :]
+    sy = jnp.asarray(_SGN_Y)[None, :]
+    sz = jnp.asarray(_SGN_Z)[None, :]
+    for lvl in range(L):
+        s, r, rows, cell, idx8, wx8, wy8, wz8, w8 = lvl_cache[lvl]
+        fg = jnp.einsum("nkf,nf->nk", rows, g_used[:, lvl, :])  # [N, 8]
+        gx = gx + s * jnp.sum(fg * (sx * wy8 * wz8), axis=-1)
+        gy = gy + s * jnp.sum(fg * (wx8 * sy * wz8), axis=-1)
+        gz = gz + s * jnp.sum(fg * (wx8 * wy8 * sz), axis=-1)
+    grad = jnp.stack([gx, gy, gz], axis=-1)
+    if spec.include_xyz:
+        grad = grad + g_xyz * spec.xyz_scale
+    return feat, grad, enc
+
+
+def _fwd(spec, mlp_pair_fn, table, mlp_params, xn, level_mask):
+    feat, grad, _ = _forward(spec, mlp_pair_fn, table, mlp_params, xn,
+                             level_mask)
+    return (feat, grad), (table, mlp_params, xn, level_mask)
+
+
+def _bwd(spec, mlp_pair_fn, res, cots):
+    table, mlp_params, xn, level_mask = res
+    g_feat_cot, g_grad_cot = cots
+    N = xn.shape[0]
+    L, T, F = table.shape
+    dt = xn.dtype
+
+    sx = jnp.asarray(_SGN_X)[None, :]
+    sy = jnp.asarray(_SGN_Y)[None, :]
+    sz = jnp.asarray(_SGN_Z)[None, :]
+    from intrinsicavatar_tpu.ops.math import vec3_components as _v3
+    ggx, ggy, ggz = _v3(g_grad_cot)
+
+    # ---- pass 1: regather rows, rebuild enc, per-level u8 / g_enc cotangent
+    lvl_cache = []
+    enc_parts = []
+    u_parts = []
+    for lvl in range(L):
+        s, r, c0, f = _level_setup(xn, spec, lvl)
+        rows, cell, idx8 = _gather_rows(table[lvl], spec, lvl, r, c0, T)
+        wx8 = _axis_w8(f[0], _BITS_X)
+        wy8 = _axis_w8(f[1], _BITS_Y)
+        wz8 = _axis_w8(f[2], _BITS_Z)
+        w8 = wx8 * wy8 * wz8
+        dwx8 = sx * wy8 * wz8
+        dwy8 = wx8 * sy * wz8
+        dwz8 = wx8 * wy8 * sz
+        u8 = s * (ggx[:, None] * dwx8 + ggy[:, None] * dwy8
+                  + ggz[:, None] * dwz8)                     # [N, 8]
+        enc_parts.append(jnp.einsum("nk,nkf->nf", w8, rows))
+        u_parts.append(jnp.einsum("nk,nkf->nf", u8, rows))
+        lvl_cache.append((s, r, rows, cell, idx8, wx8, wy8, wz8, w8, u8,
+                          dwx8, dwy8, dwz8))
+
+    mask = level_mask[None, :]
+    enc_levels = jnp.concatenate(enc_parts, axis=-1) * mask
+    g_genc_levels = jnp.concatenate(u_parts, axis=-1) * mask
+    if spec.include_xyz:
+        enc = jnp.concatenate(
+            [xn * spec.xyz_scale + spec.xyz_offset, enc_levels], axis=-1)
+        g_genc_cot = jnp.concatenate(
+            [g_grad_cot * spec.xyz_scale, g_genc_levels], axis=-1)
+    else:
+        enc = enc_levels
+        g_genc_cot = g_genc_levels
+
+    # ---- MLP second order (dense, tiny): pull (feat, g_enc) cotangents
+    # back to (mlp_params, enc)
+    (feat, g_enc), mlp_vjp = jax.vjp(
+        lambda mp, e: mlp_pair_fn(mp, e), mlp_params, enc)
+    d_mlp, d_enc = mlp_vjp((g_feat_cot, g_genc_cot))
+
+    if spec.include_xyz:
+        d_enc_xyz = d_enc[:, :3]
+        d_enc_lvls = d_enc[:, 3:]
+        g_lvls = g_enc[:, 3:]
+    else:
+        d_enc_xyz = None
+        d_enc_lvls = d_enc
+        g_lvls = g_enc
+    d_enc_used = (d_enc_lvls * mask).reshape(N, L, F)
+    g_used = (g_lvls * mask).reshape(N, L, F)
+
+    # ---- pass 2: per-level table aggregation + xn pullback
+    from intrinsicavatar_tpu.ops.scatter import aggregate_rows
+    dense_cot = []  # (lvl, r, [r^3, F]) contributions
+    gx = jnp.zeros((N,), dt)
+    gy = jnp.zeros((N,), dt)
+    gz = jnp.zeros((N,), dt)
+    hashed_idx = []
+    hashed_rows = []
+    for lvl in range(L):
+        (s, r, rows, cell, idx8, wx8, wy8, wz8, w8, u8,
+         dwx8, dwy8, dwz8) = lvl_cache[lvl]
+        de = d_enc_used[:, lvl, :]                           # [N, F]
+        gl = g_used[:, lvl, :]                               # [N, F]
+        # merged row cotangent: encode path + gradient path
+        row_cot = w8[:, :, None] * de[:, None, :] \
+            + u8[:, :, None] * gl[:, None, :]                # [N, 8, F]
+        if cell is not None:
+            packed_cot = aggregate_rows(cell, row_cot.reshape(N, 8 * F),
+                                        r * r * r)
+            dense_cot.append((lvl, r, _corner_pack_T(packed_cot, r, F)))
+        else:
+            hashed_idx.append(idx8.reshape(-1) + lvl * T)
+            hashed_rows.append(row_cot.reshape(-1, F))
+
+        # xn pullback, encode path: s * sum_k (rows_k . de) dw_k
+        re = jnp.einsum("nkf,nf->nk", rows, de)
+        gx = gx + s * jnp.sum(re * dwx8, axis=-1)
+        gy = gy + s * jnp.sum(re * dwy8, axis=-1)
+        gz = gz + s * jnp.sum(re * dwz8, axis=-1)
+        # xn pullback, gradient second-order path (d^2 w / d pos^2)
+        fg = jnp.einsum("nkf,nf->nk", rows, gl)
+        s2 = s * s
+        gx = gx + s2 * jnp.sum(
+            fg * sx * (ggy[:, None] * sy * wz8 + ggz[:, None] * sz * wy8),
+            axis=-1)
+        gy = gy + s2 * jnp.sum(
+            fg * sy * (ggx[:, None] * sx * wz8 + ggz[:, None] * sz * wx8),
+            axis=-1)
+        gz = gz + s2 * jnp.sum(
+            fg * sz * (ggx[:, None] * sx * wy8 + ggy[:, None] * sy * wx8),
+            axis=-1)
+
+    if hashed_idx:
+        d_table = aggregate_rows(
+            jnp.concatenate(hashed_idx), jnp.concatenate(hashed_rows),
+            L * T).reshape(L, T, F)
+    else:
+        d_table = jnp.zeros((L, T, F), table.dtype)
+    for lvl, r, d_lvl in dense_cot:
+        d_table = d_table.at[lvl, : r * r * r].add(d_lvl)
+
+    d_xn = jnp.stack([gx, gy, gz], axis=-1)
+    if spec.include_xyz:
+        d_xn = d_xn + d_enc_xyz * spec.xyz_scale
+    # the progressive schedule mask is a function of global_step only
+    d_mask = jnp.zeros_like(level_mask)
+    return d_table, d_mlp, d_xn, d_mask
+
+
+encode_mlp_sdfgrad.defvjp(_fwd, _bwd)
+
+
+def encode_table_grad(table, xn, spec: HashGridSpec, g, level_mask):
+    """Table pullback of :func:`ops.hashgrid.hashgrid_encode`:
+    ``d table = sum_n w_k(x_n) * g_n`` at the corner cells, assembled with
+    sort-aggregation instead of XLA scatter (`ops/scatter.py`).
+
+    ``g`` is the encode-output cotangent ``[N, n_output_dims]``.
+    """
+    from intrinsicavatar_tpu.ops.scatter import aggregate_rows
+    N = xn.shape[0]
+    L, T, F = table.shape
+    if spec.include_xyz:
+        g = g[:, 3:]
+    g_used = (g * level_mask[None, :]).reshape(N, L, F)
+
+    hashed_idx = []
+    hashed_rows = []
+    dense_cot = []
+    for lvl in range(L):
+        s, r, c0, f = _level_setup(xn, spec, lvl)
+        wx8 = _axis_w8(f[0], _BITS_X)
+        wy8 = _axis_w8(f[1], _BITS_Y)
+        wz8 = _axis_w8(f[2], _BITS_Z)
+        w8 = wx8 * wy8 * wz8
+        row_cot = w8[:, :, None] * g_used[:, lvl, None, :]   # [N, 8, F]
+        if bool(spec.dense_levels[lvl]):
+            cell = _dense_cell(c0, r)
+            packed_cot = aggregate_rows(cell, row_cot.reshape(N, 8 * F),
+                                        r * r * r)
+            dense_cot.append((lvl, r, _corner_pack_T(packed_cot, r, F)))
+        else:
+            idx8 = _hashed_corner_idx(c0, r, T)
+            hashed_idx.append(idx8.reshape(-1) + lvl * T)
+            hashed_rows.append(row_cot.reshape(-1, F))
+
+    if hashed_idx:
+        d_table = aggregate_rows(
+            jnp.concatenate(hashed_idx), jnp.concatenate(hashed_rows),
+            L * T).reshape(L, T, F)
+    else:
+        d_table = jnp.zeros((L, T, F), table.dtype)
+    for lvl, r, d_lvl in dense_cot:
+        d_table = d_table.at[lvl, : r * r * r].add(d_lvl)
+    return d_table

@@ -17,6 +17,7 @@ Progressive level masking lives in ``ops.encoding.hashgrid_level_mask``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Sequence
 
 import jax
@@ -128,6 +129,44 @@ def _hash_corner_idx(cx, cy, cz, T):
 
 
 def hashgrid_encode(
+    table: jax.Array,
+    x: jax.Array,
+    spec: HashGridSpec,
+    level_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Encode points ``x in [0,1]^3`` -> ``[N, n_output_dims]`` features.
+
+    Wraps :func:`hashgrid_encode_raw` with a custom VJP: the table pullback
+    is assembled by sort-aggregation (`ops/scatter.py`, ~2-4x the XLA
+    serialized scatter on v5e) and the input pullback is the closed-form
+    :func:`hashgrid_encode_vjp_x`.  Not differentiable twice — the
+    second-order training path uses ``ops.encode_grad.encode_mlp_sdfgrad``.
+    """
+    if level_mask is None:
+        level_mask = jnp.ones((spec.n_levels * spec.n_features_per_level,),
+                              x.dtype)
+    return _encode_cvjp(spec, table, x, level_mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _encode_cvjp(spec, table, x, level_mask):
+    return hashgrid_encode_raw(table, x, spec, level_mask)
+
+
+def _encode_cvjp_fwd(spec, table, x, level_mask):
+    return _encode_cvjp(spec, table, x, level_mask), (table, x, level_mask)
+
+
+def _encode_cvjp_bwd(spec, res, g):
+    table, x, level_mask = res
+    from intrinsicavatar_tpu.ops.encode_grad import encode_table_grad
+    d_x = hashgrid_encode_vjp_x(table, x, spec, g, level_mask)
+    d_t = encode_table_grad(table, x, spec, g, level_mask)
+    # the progressive schedule mask is a function of global_step only
+    return d_t, d_x, jnp.zeros_like(level_mask)
+
+
+def hashgrid_encode_raw(
     table: jax.Array,
     x: jax.Array,
     spec: HashGridSpec,
@@ -278,3 +317,6 @@ def hashgrid_encode_vjp_x(
     if spec.include_xyz:
         out = out + g_xyz * spec.xyz_scale
     return out
+
+
+_encode_cvjp.defvjp(_encode_cvjp_fwd, _encode_cvjp_bwd)

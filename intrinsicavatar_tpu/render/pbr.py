@@ -116,13 +116,22 @@ def compute_indirect_radiance(model, params, statics, frame, cond, sched,
         act = (jnp.pad(active, (0, pad)) if active is not None
                else jnp.pad(jnp.ones(M, bool), (0, pad))).reshape(n, chunk)
 
+        # overflow counters recorded inside the map body are inner-scope
+        # tracers: collect them per chunk, return them through the body's
+        # outputs, and re-record the (outer-scope) sums afterwards
+        from intrinsicavatar_tpu.utils import diag
+
         def body(args):
             ro_c, rd_c, act_c = args
-            return _indirect_impl(model, params, statics, frame, cond,
-                                  sched, occ_binaries, occ_aabb, ro_c, rd_c,
-                                  step, flags, act_c)
+            with diag.collect() as inner:
+                tr_c, rgb_c = _indirect_impl(
+                    model, params, statics, frame, cond, sched,
+                    occ_binaries, occ_aabb, ro_c, rd_c, step, flags, act_c)
+            return tr_c, rgb_c, {k: jnp.asarray(v) for k, v in inner.items()}
 
-        tr, rgb = jax.lax.map(body, (ro, rd, act))
+        tr, rgb, inner_sums = jax.lax.map(body, (ro, rd, act))
+        for k, v in inner_sums.items():
+            diag.record(k, jnp.sum(v))
         return tr.reshape(-1)[:M], rgb.reshape(-1, 3)[:M]
     return _indirect_impl(model, params, statics, frame, cond, sched,
                           occ_binaries, occ_aabb, rays_o, rays_d, step,
@@ -322,7 +331,10 @@ def pbr_forward(model, params, statics, frame, cond, occ, sched,
             frame, emitter.sample(emitter_state, k_scatter, R * B))
         Lo_diff = 0.0
         Lo_spec = 0.0
-        tr_acc = 0.0
+        # no cos_ok mask here by design: the reference's pbr_mis_forward
+        # relies on the MIS weights / BRDF eval alone (no cosine gating,
+        # unlike its light/uniform_light modes) — verified against
+        # `models/intrinsic_avatar.py:547-658` (mis_weights only).
         for dirs in (d_sc, d_li):
             active = fg
             Li, tr = light_terms(dirs, active)
@@ -337,7 +349,6 @@ def pbr_forward(model, params, statics, frame, cond, occ, sched,
                                         rough, alb, metal, atten)
             Lo_diff = Lo_diff + Li * diff * mis_w
             Lo_spec = Lo_spec + Li * spec * mis_w
-            tr_acc = tr_acc + tr
         vis = None
     else:
         raise NotImplementedError(f"render_mode {mode!r}")

@@ -50,6 +50,11 @@ class RenderFlags(NamedTuple):
     # PBR stage (`models/intrinsic_avatar.py:222,1290` albedo_only) — used
     # to fit the per-frame albedo alignment ratio before the full render
     albedo_only: bool = False
+    # disable query compaction (full static budgets).  Set during the early
+    # warmup window while the occupancy grid is still mostly-on: the valid
+    # sample fraction then approaches 1.0 and a fractional budget would
+    # silently drop the far samples of every ray (ADVICE round-2).
+    full_budget: bool = False
 
 
 @register("intrinsic-avatar")
@@ -189,10 +194,13 @@ class IntrinsicAvatar:
             return list(query(pts))
 
         from intrinsicavatar_tpu.ops.compact import compact_apply
+        from intrinsicavatar_tpu.utils import diag
         M = pts.shape[0]
         if budget is None:
             budget = int(np.ceil(M * float(frac) / 128.0)) * 128
         budget = min(max(budget, 128), M)
+        diag.record("ovf_query", jax.nn.relu(
+            jnp.sum(mask.astype(jnp.int32)) - budget))
         # fills by deformer output position: pts_cano, sdf, valid,
         # [grad_obs, grad_cano, feat, laplace]
         fills = [0.0, 1e5, False]
@@ -227,7 +235,7 @@ class IntrinsicAvatar:
 
     def _coarse_sdf_at_edges(self, params, statics, frame, cond, sched,
                              rays_o, rays_d, iv: RayIntervals, step,
-                             prev_sdf=None, is_new=None):
+                             prev_sdf=None, is_new=None, full_budget=False):
         """SDF at (new) edge values; invalid slots get 1e10
         (`models/intrinsic_avatar.py:955-998` coarse_alpha_fn)."""
         R, E = iv.vals.shape
@@ -236,6 +244,8 @@ class IntrinsicAvatar:
                ).reshape(-1, 3)
         qmask = iv.valid if is_new is None else (iv.valid & is_new)
         nb = None if is_new is None else R * self.n_importance_samples
+        if full_budget and nb is None:
+            nb = pos.shape[0]
         out = self._deform_query(params, statics, frame, cond, pos, sched,
                                  with_grad=False, with_feature=False,
                                  eval_mode=True, global_step=step,
@@ -259,7 +269,8 @@ class IntrinsicAvatar:
         return jnp.where(real, alphas, 0.0), real
 
     def _importance_resample(self, params, statics, frame, cond, sched,
-                             rays_o, rays_d, iv: RayIntervals, step):
+                             rays_o, rays_d, iv: RayIntervals, step,
+                             full_budget=False):
         """Merge-resampling rounds (`models/intrinsic_avatar.py:1184-1238`).
 
         Per-edge SDF values are cached across rounds through the merge's
@@ -271,7 +282,8 @@ class IntrinsicAvatar:
         n_new = self.n_importance_samples
         # round 0: SDF at all (valid) initial edges
         sdf = self._coarse_sdf_at_edges(params, statics, frame, cond, sched,
-                                        rays_o, rays_d, iv, step)
+                                        rays_o, rays_d, iv, step,
+                                        full_budget=full_budget)
         for r in range(self.n_importance_rounds):
             alphas, _ = self._edge_alphas_min_sdf(params, iv, sdf, step)
             alphas = jax.lax.stop_gradient(alphas)
@@ -323,7 +335,8 @@ class IntrinsicAvatar:
 
         if flags.importance_sample:
             iv = self._importance_resample(params, statics, frame, cond,
-                                           sched, rays_o, rays_d, iv, step)
+                                           sched, rays_o, rays_d, iv, step,
+                                           full_budget=flags.full_budget)
         t_starts, t_ends, smask = intervals_to_samples(iv)
         return (jax.lax.stop_gradient(t_starts),
                 jax.lax.stop_gradient(t_ends), smask)
@@ -339,7 +352,27 @@ class IntrinsicAvatar:
 
         ``intervals`` (from :meth:`sample_intervals`) skips stages 1-3 so
         the caller can jit the gradient-free sampling separately.
+
+        Every static-budget truncation inside records an overflow counter;
+        they are returned under ``out["counters"]`` (and logged by the
+        training system) so a pose/schedule change that blows a budget is
+        visible instead of silently biasing the render.
         """
+        from intrinsicavatar_tpu.utils import diag
+        with diag.collect() as counters:
+            out_dict = self._forward_body(
+                params, statics, frame, cond, occ, rays_world, rng, step,
+                flags, t_idx, background_color, emitter_state, intervals,
+                albedo_align_ratio)
+        out_dict["counters"] = {k: jnp.asarray(v, jnp.int32)
+                                for k, v in counters.items()}
+        return out_dict
+
+    def _forward_body(self, params, statics, frame, cond, occ: OccGridState,
+                      rays_world, rng, step, flags: RenderFlags,
+                      t_idx=0.0, background_color=None, emitter_state=None,
+                      intervals=None, albedo_align_ratio=None):
+        from intrinsicavatar_tpu.utils import diag
         sched = self._schedules(step)
         rays = self.deformer.rigid.transform_rays_w2s(frame, rays_world) \
             if hasattr(self.deformer, "rigid") else rays_world
@@ -375,15 +408,19 @@ class IntrinsicAvatar:
         with_lap = flags.training and flags.with_curvature_loss
         Mfull = R * S
         frac = self.config.get("query_compaction", 0.5)
-        use_compact = bool(frac) and Mfull >= 4096
+        use_compact = bool(frac) and Mfull >= 4096 \
+            and not flags.full_budget
         if use_compact:
             from intrinsicavatar_tpu.ops.compact import (
                 compact_indices_interleaved)
-            # +1/8 headroom over the nominal fraction: the sample-validity
+            # +1/16 headroom over the nominal fraction: the sample-validity
             # fraction hovers around frac itself after importance merging
-            budget = int(np.ceil(Mfull * min(1.0, float(frac) + 0.125)
+            # (overflow is observable via the ovf_shading counter)
+            budget = int(np.ceil(Mfull * min(1.0, float(frac) + 0.0625)
                                  / 128.0)) * 128
             budget = min(max(budget, 128), Mfull)
+            diag.record("ovf_shading", jax.nn.relu(
+                jnp.sum(smask.astype(jnp.int32)) - budget))
             sidx, spicked = compact_indices_interleaved(smask, budget)
             pos_q = pos[sidx]
             dirs_q = jnp.repeat(rays_d, S, axis=0)[sidx]
@@ -398,11 +435,38 @@ class IntrinsicAvatar:
 
         out = self._deform_query(
             params, statics, frame, cond, pos_q, sched,
-            with_grad=True, with_feature=True, with_laplace=with_lap,
+            with_grad=True, with_feature=True, with_laplace=False,
             eval_mode=not flags.training, rng=k_lap, global_step=step,
             mask=qmask)
         pos_cano, sdf, valid, sdf_grad, sdf_grad_cano, feat = out[:6]
-        laplace = out[6] if with_lap else jnp.zeros_like(sdf)
+
+        # Curvature on a random SUBSET of the shading lanes: the tangent
+        # perturbation needs a second SDF-gradient evaluation whose backward
+        # scatters into the hash tables (the dominant TPU cost); the
+        # curvature loss only consumes the masked *mean*, so a uniform
+        # with-replacement subsample is an unbiased estimator.  The
+        # reference computes it on every sample (`models/rf/geometry.py:
+        # 173-205`); set ``curvature_subsample: 1.0`` for the exact path.
+        laplace = laplace_mask = None
+        if with_lap:
+            q_valid = valid & (spicked if use_compact
+                               else smask.reshape(-1))
+            frac_lap = float(self.config.get("curvature_subsample", 0.25))
+            nq = pos_cano.shape[0]
+            if frac_lap >= 1.0:
+                x_sub, grad_sub, laplace_mask = pos_cano, sdf_grad_cano, \
+                    q_valid
+            else:
+                nsub = min(max(int(np.ceil(nq * frac_lap / 128.0)) * 128,
+                               128), nq)
+                k_sub, k_lap = jax.random.split(k_lap)
+                sub = jax.random.randint(k_sub, (nsub,), 0, nq)
+                x_sub = jnp.take(pos_cano, sub, axis=0)
+                grad_sub = jnp.take(sdf_grad_cano, sub, axis=0)
+                laplace_mask = jnp.take(q_valid, sub, axis=0)
+            laplace = self.geometry._tangent_laplace(
+                params["geometry"], x_sub, grad_sub, sched["geo_mask"],
+                k_lap)
 
         dirs_world = self.deformer.rigid.transform_dirs_s2w(frame, dirs_q)
         normal_world_q = self.deformer.rigid.transform_dirs_s2w(
@@ -452,9 +516,9 @@ class IntrinsicAvatar:
             # the rectangular [R*S] layout (scatters run ~10M rows/s on
             # v5e — pack once instead of scattering each quantity)
             n_mat = mats.shape[-1] if mats is not None else 0
-            widths = [1, 3, 3, 1, 1, 1]
+            widths = [1, 3, 3, 1, 1]
             cols = [alphas[:, None], rgbs, sdf_grad, sdf[:, None],
-                    laplace[:, None], spicked[:, None].astype(sdf.dtype)]
+                    spicked[:, None].astype(sdf.dtype)]
             if flags.enable_phys:
                 widths += [n_mat, n_mat]
                 cols += [mats, mats_jitter]
@@ -467,10 +531,9 @@ class IntrinsicAvatar:
             rgbs = parts[1]
             sdf_grad = parts[2]
             sdf = parts[3][:, 0]
-            laplace = parts[4][:, 0]
-            smask = smask & (parts[5][:, 0] > 0.5).reshape(R, S)
+            smask = smask & (parts[4][:, 0] > 0.5).reshape(R, S)
             if flags.enable_phys:
-                mats, mats_jitter = parts[6], parts[7]
+                mats, mats_jitter = parts[5], parts[6]
             valid = jnp.zeros((Mfull,), bool).at[sidx].set(valid & spicked)
 
         normal_smpl = safe_normalize(sdf_grad)
@@ -524,13 +587,15 @@ class IntrinsicAvatar:
             out_dict.update({
                 "sdf_samples": sdf,
                 "sdf_grad_samples": sdf_grad,
-                "sdf_laplace_samples": laplace,
                 "weights": weights,
                 "points": mids,
                 "intervals": dists,
                 "sample_mask": smask,
                 "sample_valid": valid.reshape(R, S),
             })
+            if laplace is not None:
+                out_dict["sdf_laplace_samples"] = laplace
+                out_dict["laplace_mask"] = laplace_mask
             if flags.enable_phys:
                 nrm = normal_smpl.reshape(R, S, 3)
                 orient = jnp.clip(jnp.sum(

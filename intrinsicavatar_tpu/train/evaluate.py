@@ -32,26 +32,32 @@ def build_test_occ_grid(system, params, batch, step, key, resolution=64):
     jitted once per system (eager execution over a TPU tunnel runs this
     64^3 x 3-sample occupancy eval op-by-op — minutes per frame)."""
     model = system.model
-    fn = getattr(system, "_test_occ_jit", None)
+    # statics travel as a jit ARGUMENT (not a baked closure constant) so a
+    # mid-training reinit_shape() is picked up by later eval renders; the
+    # cache is keyed by resolution so differing grid sizes don't silently
+    # reuse the first-traced value.
+    cache = getattr(system, "_test_occ_jit", None)
+    if cache is None:
+        cache = system._test_occ_jit = {}
+    fn = cache.get(resolution)
     if fn is None:
-        def _build(params, step, key, batch):
-            frame, cond = model.prepare(params, system.statics, batch, step)
+        def _build(params, statics, step, key, batch):
+            frame, cond = model.prepare(params, statics, batch, step)
             sched = model._schedules(step)
             aabb2 = model.deformer.rigid.get_bbox_deformed(frame)
             aabb = jnp.concatenate([aabb2[0], aabb2[1]])
-            occ_fn = model.occ_eval_fn(params, system.statics, frame, cond,
+            occ_fn = model.occ_eval_fn(params, statics, frame, cond,
                                        sched, step)
             binaries = compute_test_occ_grid(occ_fn, aabb, key,
                                              resolution=resolution,
                                              occ_thre=0.01)
             return binaries, aabb, frame, cond
 
-        fn = jax.jit(_build)
-        system._test_occ_jit = fn
+        fn = cache[resolution] = jax.jit(_build)
 
     b = {k: v for k, v in batch.items() if k != "hdri"}
     binaries, aabb, frame, cond = fn(
-        params, jnp.asarray(step, jnp.int32), key, b)
+        params, system.statics, jnp.asarray(step, jnp.int32), key, b)
     occ = OccGridState(
         occs=jnp.zeros((1, resolution**3)),
         binaries=binaries[None],
@@ -124,17 +130,17 @@ def render_frame(system, params, batch, step, key, flags: RenderFlags,
         import functools
 
         @functools.partial(jax.jit, static_argnames=("flags",))
-        def rc(params, frame, cond, occ, chunk, k, step, bg, emitter_state,
-               ratio, flags):
+        def rc(params, statics, frame, cond, occ, chunk, k, step, bg,
+               emitter_state, ratio, flags):
             return system.model.forward(
-                params, system.statics, frame, cond, occ, chunk, k, step,
+                params, statics, frame, cond, occ, chunk, k, step,
                 flags, t_idx=0.0, background_color=bg,
                 emitter_state=emitter_state, albedo_align_ratio=ratio)
 
         system._render_chunk_jit = rc
 
     def render_chunk(chunk, k):
-        return rc(params, frame, cond, occ, chunk, k,
+        return rc(params, system.statics, frame, cond, occ, chunk, k,
                   jnp.asarray(step, jnp.int32), bg, emitter_state,
                   albedo_align_ratio, flags)
 

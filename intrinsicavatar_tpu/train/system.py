@@ -72,6 +72,12 @@ class IntrinsicAvatarSystem:
         self.occ_update_every = config.system.get("occ_update_every", 20)
         self.statics = None
         self.tx = None
+        # optional device mesh: when set (launch --mesh / multi-device
+        # autodetect), train_step shards the ray batch over it with
+        # replicated params (`parallel/sharding.py`) — the TPU-native
+        # replacement for the reference's Lightning DDP (`launch.py:91-98`)
+        self.mesh = None
+        self._sharded_steps = {}
 
     # ------------------------------------------------------------ setup
 
@@ -105,6 +111,11 @@ class IntrinsicAvatarSystem:
             jitter_materials=C_static(
                 self.loss_cfg.lambda_albedo_smoothness, step) > 0,
             render_mode=mcfg.get("render_mode", "uniform_light"),
+            # full query budgets while the occupancy grid is still mostly-on
+            # (fractional compaction would drop the far samples of every
+            # ray during the first few hundred steps)
+            full_budget=training and step < mcfg.get(
+                "compaction_warmup_steps", 512),
         )
 
     # ------------------------------------------------------------ losses
@@ -176,8 +187,10 @@ class IntrinsicAvatarSystem:
         loss += losses["sparsity"] * C(L.lambda_sparsity, step)
 
         if flags.with_curvature_loss:
-            lap = jnp.abs(out["sdf_laplace_samples"]).reshape(smask.shape)
-            losses["curvature"] = _masked_mean(lap, smask)
+            # curvature proxy on the renderer's (subsampled) lane set —
+            # an unbiased estimator of the reference's per-sample mean
+            lap = jnp.abs(out["sdf_laplace_samples"])
+            losses["curvature"] = _masked_mean(lap, out["laplace_mask"])
             loss += losses["curvature"] * C(L.lambda_curvature, step)
 
         dist_spec = L.get("lambda_distortion", 0.0)
@@ -244,6 +257,11 @@ class IntrinsicAvatarSystem:
                 losses["energy_conservation"] = _masked_mean(ec, vphys)
                 loss += losses["energy_conservation"] * C(
                     L.lambda_energy_conservation, step)
+
+        # static-budget overflow counters (no silent caps): pass through so
+        # they land in the logged scalars / metrics.jsonl
+        for k, v in out.get("counters", {}).items():
+            losses[k] = v
 
         losses["total"] = loss
         return loss, losses
@@ -323,13 +341,47 @@ class IntrinsicAvatarSystem:
         one optimizer update — activation memory scales with the microbatch
         while the optimization trajectory matches the monolithic step (all
         losses are per-ray means over equal-size chunks; the background
-        color and step schedules are shared across chunks)."""
+        color and step schedules are shared across chunks).
+
+        With ``self.mesh`` set, the whole step runs ray-sharded over the
+        device mesh instead (grad accumulation is unnecessary there — the
+        per-chip ray count already shrinks by the mesh size)."""
+        if self.mesh is not None:
+            return self.sharded_train_step(state, batch, t_idx, flags)
         intervals = self.sample_step(state, batch, t_idx, flags)
         n_micro = int(self.config.trainer.get("grad_accum", 1))
         if n_micro <= 1 or batch["rays"].shape[0] % n_micro != 0:
             return self.train_step_jit(state, batch, t_idx, flags, intervals)
         return self._train_step_accum(state, batch, t_idx, flags, intervals,
                                       n_micro)
+
+    # ------------------------------------------------------- device mesh
+
+    def use_mesh(self, mesh) -> None:
+        """Enable ray-sharded training over ``mesh`` (or disable with
+        ``None``).  Replaces the reference's DDP wiring
+        (`launch.py:91-98`)."""
+        self.mesh = mesh
+        self._sharded_steps = {}
+
+    def shard_batch(self, batch):
+        from intrinsicavatar_tpu.parallel.sharding import batch_shardings
+        return jax.device_put(batch, batch_shardings(self.mesh, batch))
+
+    def replicate_state(self, state: TrainState) -> TrainState:
+        from intrinsicavatar_tpu.parallel.sharding import replicated
+        return jax.device_put(state, replicated(self.mesh, state))
+
+    def sharded_train_step(self, state: TrainState, batch, t_idx,
+                           flags: RenderFlags):
+        from intrinsicavatar_tpu.parallel.sharding import (
+            make_sharded_train_step)
+        fn = self._sharded_steps.get(flags)
+        if fn is None:
+            fn = make_sharded_train_step(self, self.mesh, flags, state,
+                                         batch)
+            self._sharded_steps[flags] = fn
+        return fn(state, batch, t_idx)
 
     # ---------------------------------------------- gradient accumulation
 
@@ -493,7 +545,8 @@ class IntrinsicAvatarSystem:
     def fit(self, data_iter, state: TrainState, max_steps: int,
             log_every: int = 100, callback=None, all_frames_fn=None,
             prefetch: bool = True, logger=None, val_fn=None,
-            val_every: int = 0, betas=None):
+            val_every: int = 0, betas=None, ckpt_fn=None,
+            ckpt_every: int = 0):
         """The training loop (replaces Lightning's trainer.fit).
 
         ``all_frames_fn()`` returns one pose batch per training frame; it is
@@ -517,8 +570,12 @@ class IntrinsicAvatarSystem:
                 pass
         tput = Throughput()
         history = []
+        if self.mesh is not None:
+            state = self.replicate_state(state)
         for step in range(int(state.step), max_steps):
             batch, t_idx = next(data_iter)
+            if self.mesh is not None:
+                batch = self.shard_batch(batch)
             if step in self.reinit_occ_steps and all_frames_fn is not None:
                 state = self.reinit_occupancy_grid(state, all_frames_fn())
             if step in self.reinit_optimizer_steps and step > 0:
@@ -548,4 +605,10 @@ class IntrinsicAvatarSystem:
                     logger.log(step, {f"val/{k}": v
                                       for k, v in metrics.items()
                                       if np.ndim(v) == 0})
+            # checkpoint cadence independent of validation (a ckpt gated
+            # inside val_fn only fires on common multiples of both — and
+            # never if the val dataset fails to build)
+            if ckpt_fn is not None and ckpt_every > 0 and step > 0 \
+                    and step % ckpt_every == 0:
+                ckpt_fn(state, step)
         return state, history
