@@ -88,7 +88,9 @@ class FastSNARF:
         # (`deformer_torch.py:27,94-125`); pruning to the K inits whose
         # canonicalized start point lies closest to the init bone's
         # canonical segment loses no roots at K=8 (measured 0/15k on the
-        # synthetic body; see README "Performance") and cuts every
+        # synthetic body; round-3 adversarial-pose suite additionally
+        # matches the full 13-init root set on crossed-arm / extreme
+        # random poses, tests/test_adversarial_pose.py) and cuts every
         # search's gather rows by 13/K.  Set ``n_init: 13`` for exact
         # reference behavior.
         self.n_init = min(int(dcfg.get("n_init", 8)), len(INIT_BONES))

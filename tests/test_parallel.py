@@ -7,6 +7,7 @@ XLA-inserted gradient all-reduce)."""
 
 import numpy as np
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import pytest
 
@@ -84,3 +85,37 @@ def test_sharded_render_matches_unsharded(system_state):
         np.testing.assert_allclose(np.asarray(direct[k]),
                                    np.asarray(sharded[k]),
                                    rtol=1e-2, atol=2e-3)
+
+
+def test_sharded_train_step_deterministic_tight():
+    """Deterministic variant at ~1e-5 tolerance (VERDICT round-2 item 7):
+    randomness, curvature, material jitter and every compaction path are
+    disabled, so the only single-vs-sharded difference is reduction order —
+    a wrong psum / per-group gradient would stand out by orders of
+    magnitude against this floor."""
+    from intrinsicavatar_tpu.utils.default_config import tiny_config as _tc
+    cfg = _tc()
+    cfg.trainer.grad_accum = 1
+    cfg.model.query_compaction = 0.0
+    cfg.model.deformer.rigid_deformer.deformer_config.candidate_compaction \
+        = 0.0
+    sys_ = IntrinsicAvatarSystem(cfg)
+    state = sys_.setup(np.zeros(10), jax.random.PRNGKey(0))
+    batch = make_batch(R=32)
+    flags = sys_.flags_for_step(600)._replace(
+        randomized=False, with_curvature_loss=False, jitter_materials=False)
+    assert not flags.full_budget
+
+    s1, l1 = sys_.train_step_jit(state, batch, 0.0, flags)
+
+    mesh = PS.make_mesh(jax.devices()[:8])
+    step_fn = PS.make_sharded_train_step(sys_, mesh, flags, state, batch)
+    s2, l2 = step_fn(state, batch, jnp.asarray(0.0))
+
+    for k in ("total", "rgb_l1", "eikonal", "mask_bce"):
+        np.testing.assert_allclose(float(l1[k]), float(l2[k]), rtol=1e-5,
+                                   err_msg=f"loss {k}")
+    p1, _ = jax.flatten_util.ravel_pytree(s1.params)
+    p2, _ = jax.flatten_util.ravel_pytree(s2.params)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=1e-4, atol=1e-6)
