@@ -166,6 +166,21 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
     t_starts, t_ends, smask = intervals_to_samples(iv)
     if active is not None:
         smask = smask & active[:, None]
+    # Early-termination analog (nerfacc stops secondary marching once
+    # transmittance collapses): cap each secondary ray to its first K
+    # *occupied* samples.  Rays crossing into the body hit the surface
+    # within the first few occupied voxels; interior samples beyond the
+    # crossing sit behind ~zero transmittance and only burn Broyden +
+    # encode rows.  0 disables (exact full-march).
+    max_occ = int(model.config.get("secondary_max_valid_samples", 16))
+    if max_occ > 0 and max_occ < S:
+        smask = smask & (jnp.cumsum(smask.astype(jnp.int32), axis=1)
+                         <= max_occ)
+    # valid-fraction telemetry for sizing secondary_query_compaction
+    from intrinsicavatar_tpu.utils import diag
+    diag.record("sec_valid_samples", jnp.sum(smask.astype(jnp.int32)))
+    diag.record("sec_total_samples",
+                jnp.asarray(smask.shape[0] * smask.shape[1], jnp.int32))
 
     if model.secondary_importance_sample:
         # coarse SDF at interval *starts* (`intrinsic_avatar.py:399-404`)

@@ -494,9 +494,20 @@ class IntrinsicAvatar:
                 alb0, rest0 = split_channels(mats, [3, mats.shape[-1] - 3])
                 mats = jnp.concatenate(
                     [alb0 * albedo_align_ratio[None, :], rest0], -1)
-            if flags.training and flags.jitter_materials:
-                pos_j = pos_cano + jax.random.normal(k_jit, pos_cano.shape) \
-                    * 0.01
+            # Jittered material clone for the smoothness regularizers.  The
+            # clone needs its own geometry+radiance encodes whose backward
+            # scatters into BOTH hash tables; like the curvature proxy, the
+            # losses only consume means, so on the compact path a uniform
+            # with-replacement subsample is an unbiased estimator of the
+            # reference's per-sample accumulation (set
+            # ``smoothness_subsample: 1.0`` for the exact path).
+            frac_j = float(self.config.get("smoothness_subsample", 0.25))
+            jit_subsample = use_compact and frac_j < 1.0
+            jsub = mats_sub = mats_jitter_sub = None
+
+            def jitter_mats(pos_base):
+                pos_j = pos_base + jax.random.normal(
+                    k_jit, pos_base.shape) * 0.01
                 feat_j = self.geometry.features(
                     params["geometry"], pos_j, sched["geo_mask"])
                 if self.material_feature == "geometry":
@@ -507,7 +518,20 @@ class IntrinsicAvatar:
                         level_mask=sched["rad_mask"], feature_only=True)
                     mfj = rgb_feat_j if self.material_feature == "radiance" \
                         else jnp.concatenate([rgb_feat_j, feat_j], axis=-1)
-                mats_jitter = self.material(params["material"], mfj)
+                return self.material(params["material"], mfj)
+
+            if flags.training and flags.jitter_materials and jit_subsample:
+                nq = pos_cano.shape[0]
+                nsub = min(max(int(np.ceil(nq * frac_j / 128.0)) * 128,
+                               128), nq)
+                k_jsub, k_jit = jax.random.split(k_jit)
+                jsub = jax.random.randint(k_jsub, (nsub,), 0, nq)
+                mats_sub = jnp.take(mats, jsub, axis=0)
+                mats_jitter_sub = jitter_mats(jnp.take(pos_cano, jsub,
+                                                       axis=0))
+                mats_jitter = jnp.zeros_like(mats)
+            elif flags.training and flags.jitter_materials:
+                mats_jitter = jitter_mats(pos_cano)
             else:
                 mats_jitter = jnp.zeros_like(mats)
 
@@ -519,9 +543,13 @@ class IntrinsicAvatar:
             widths = [1, 3, 3, 1, 1]
             cols = [alphas[:, None], rgbs, sdf_grad, sdf[:, None],
                     spicked[:, None].astype(sdf.dtype)]
+            pack_jitter = flags.enable_phys and jsub is None
             if flags.enable_phys:
-                widths += [n_mat, n_mat]
-                cols += [mats, mats_jitter]
+                widths += [n_mat]
+                cols += [mats]
+                if pack_jitter:
+                    widths += [n_mat]
+                    cols += [mats_jitter]
             packed_q = jnp.concatenate(cols, axis=-1)
             packed_q = jnp.where(spicked[:, None], packed_q, 0.0)
             full = jnp.zeros((Mfull, packed_q.shape[-1]), packed_q.dtype
@@ -533,7 +561,11 @@ class IntrinsicAvatar:
             sdf = parts[3][:, 0]
             smask = smask & (parts[4][:, 0] > 0.5).reshape(R, S)
             if flags.enable_phys:
-                mats, mats_jitter = parts[5], parts[6]
+                mats = parts[5]
+                if pack_jitter:
+                    mats_jitter = parts[6]
+                else:
+                    mats_jitter = jnp.zeros_like(mats)
             valid = jnp.zeros((Mfull,), bool).at[sidx].set(valid & spicked)
 
         normal_smpl = safe_normalize(sdf_grad)
@@ -600,24 +632,49 @@ class IntrinsicAvatar:
                 nrm = normal_smpl.reshape(R, S, 3)
                 orient = jnp.clip(jnp.sum(
                     rays_d[:, None, :] * nrm, -1, keepdims=True), 0.0)
+                out_dict["normals_orientation_loss_map"] = \
+                    V.accumulate_along_rays(weights, orient, smask)
 
                 def smooth_loss(v, vj):
                     base = jnp.clip(jnp.maximum(v, vj), 1e-6)
                     return jnp.sum(((v - vj) / base) ** 2, -1, keepdims=True)
 
-                mj = mats_jitter.reshape(R, S, -1)
-                mj_alb, mj_rough, mj_metal = split_channels(
-                    mj, [3, 1, mj.shape[-1] - 4])
-                out_dict.update({
-                    "normals_orientation_loss_map": V.accumulate_along_rays(
-                        weights, orient, smask),
-                    "albedo_smoothness_loss_map": V.accumulate_along_rays(
-                        weights, smooth_loss(m_alb, mj_alb), smask),
-                    "roughness_smoothness_loss_map": V.accumulate_along_rays(
-                        weights, smooth_loss(m_rough, mj_rough), smask),
-                    "metallic_smoothness_loss_map": V.accumulate_along_rays(
-                        weights, smooth_loss(m_metal, mj_metal), smask),
-                })
+                if jsub is not None:
+                    # subsampled estimator of mean_r(sum_s w * smooth):
+                    # (n_lanes / R) * mean over the lane subset of w*smooth
+                    w_sub = jnp.take(weights.reshape(-1),
+                                     jnp.take(sidx, jsub))[:, None] \
+                        * jnp.take(spicked, jsub)[:, None]
+                    scale = pos_cano.shape[0] / R
+                    ms_alb, ms_rough, ms_metal = split_channels(
+                        mats_sub, [3, 1, mats_sub.shape[-1] - 4])
+                    mjs_alb, mjs_rough, mjs_metal = split_channels(
+                        mats_jitter_sub,
+                        [3, 1, mats_jitter_sub.shape[-1] - 4])
+                    out_dict.update({
+                        "albedo_smoothness_loss_map": scale * jnp.mean(
+                            w_sub * smooth_loss(ms_alb, mjs_alb)),
+                        "roughness_smoothness_loss_map": scale * jnp.mean(
+                            w_sub * smooth_loss(ms_rough, mjs_rough)),
+                        "metallic_smoothness_loss_map": scale * jnp.mean(
+                            w_sub * smooth_loss(ms_metal, mjs_metal)),
+                    })
+                else:
+                    mj = mats_jitter.reshape(R, S, -1)
+                    mj_alb, mj_rough, mj_metal = split_channels(
+                        mj, [3, 1, mj.shape[-1] - 4])
+                    out_dict.update({
+                        "albedo_smoothness_loss_map": V.accumulate_along_rays(
+                            weights, smooth_loss(m_alb, mj_alb), smask),
+                        "roughness_smoothness_loss_map":
+                            V.accumulate_along_rays(
+                                weights, smooth_loss(m_rough, mj_rough),
+                                smask),
+                        "metallic_smoothness_loss_map":
+                            V.accumulate_along_rays(
+                                weights, smooth_loss(m_metal, mj_metal),
+                                smask),
+                    })
             else:
                 z = jnp.zeros_like(acc_map)
                 out_dict.update({
