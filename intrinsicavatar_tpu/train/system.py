@@ -262,6 +262,10 @@ class IntrinsicAvatarSystem:
         # they land in the logged scalars / metrics.jsonl
         for k, v in out.get("counters", {}).items():
             losses[k] = v
+        # schedule state (Laplace beta) logged alongside losses so milestone
+        # behavior (beta anneal, phys kick-in) is auditable from the JSONL
+        if "beta" in out:
+            losses["beta"] = jnp.asarray(out["beta"])
 
         losses["total"] = loss
         return loss, losses
@@ -593,6 +597,18 @@ class IntrinsicAvatarSystem:
                 scalars = {k: float(v) for k, v in
                            jax.device_get(losses).items() if np.ndim(v) == 0}
                 scalars["rays_per_sec"] = tput.rays_per_sec
+                # host-side mirror of train/schedules.lr_schedule (eager jnp
+                # over the TPU tunnel would round-trip per log step)
+                sch = self.config.system.get("scheduler", {})
+                sf = sch.get("warmup_start_factor", 0.01)
+                w = self.config.system.get("warmup_steps", 1000)
+                lr = self.config.system.get("optimizer", {}).get(
+                    "args", {}).get("lr", 1e-3) \
+                    * (sf + (1.0 - sf) * min(step / max(w, 1), 1.0))
+                for m in sch.get("milestones", (12500, 18750, 22500, 23750)):
+                    if step >= m:
+                        lr *= sch.get("gamma", 0.3)
+                scalars["lr"] = lr
                 if callback is not None:
                     callback(step, scalars)
                 if logger is not None:
