@@ -49,6 +49,44 @@ def bone_albedos(seed: int = 7) -> np.ndarray:
     return base
 
 
+def procedural_hdri(height: int = 64, seed: int = 11) -> np.ndarray:
+    """Held-out test envmap ``[H, 2H, 3]`` (lat-long, linear HDR).
+
+    Sky gradient + warm sun disk + dim ground bounce — the in-environment
+    stand-in for RANA's held-out .hdr files (the relighting protocol of
+    `/root/reference/README.md:70-95`; no HDRI assets ship in this
+    sandbox).  Deterministic in ``seed`` so the relit render is
+    reproducible.
+    """
+    H, W = height, 2 * height
+    rng = np.random.default_rng(seed)
+    theta = (np.arange(H) + 0.5) / H * np.pi            # 0 = up
+    phi = (np.arange(W) + 0.5) / W * 2.0 * np.pi
+    t, p = np.meshgrid(theta, phi, indexing="ij")
+    up = np.cos(t)
+    # sky: blue-white gradient toward the horizon
+    sky_top = np.asarray([0.35, 0.55, 1.0])
+    sky_hor = np.asarray([0.9, 0.85, 0.8])
+    w = np.clip(up, 0.0, 1.0)[..., None]
+    img = w * sky_top + (1.0 - w) * sky_hor
+    # ground: dim neutral bounce
+    img = np.where(up[..., None] < 0.0,
+                   np.asarray([0.18, 0.16, 0.14]) * (1.0 + 0.3 * -up[..., None]),
+                   img)
+    # sun: warm disk at a random azimuth, 30-50 deg elevation
+    sun_t = rng.uniform(np.deg2rad(40), np.deg2rad(60))
+    sun_p = rng.uniform(0.0, 2.0 * np.pi)
+    sd = (np.sin(sun_t) * np.cos(sun_p), np.cos(sun_t),
+          np.sin(sun_t) * np.sin(sun_p))
+    d = np.stack([np.sin(t) * np.cos(p), np.cos(t), np.sin(t) * np.sin(p)],
+                 -1)
+    cosang = d @ np.asarray(sd)
+    img = img + np.asarray([18.0, 15.0, 10.0]) * np.clip(
+        (cosang - np.cos(np.deg2rad(4))) / (1 - np.cos(np.deg2rad(4))),
+        0.0, 1.0)[..., None]
+    return img.astype(np.float32)
+
+
 def _capsule_dist(p, a, b, r):
     """Unsigned distance from points ``p [N,3]`` to capsule (a, b, r)."""
     ab = b - a
@@ -224,6 +262,26 @@ class CapsuleImageDataset:
         self.albedos = bone_albedos(config.get("albedo_seed", 7))
         self._cache: dict = {}
 
+        # relighting protocol: a held-out test HDRI attached to test-mode
+        # batches (same contract as the PeopleSnapshot/RANA loaders —
+        # `hdri_filepath` -> batch["hdri"], consumed by
+        # train/evaluate.render_frame which swaps the emitter base and
+        # rebuilds its sampling tables).  ``procedural`` synthesizes a
+        # sky-gradient + sun-disk envmap, the in-environment stand-in for
+        # RANA's held-out HDRIs (no .hdr assets ship in this sandbox).
+        self.hdri = None
+        hp = config.get("hdri_filepath", None)
+        if mode == "test" and hp:
+            if hp == "procedural":
+                self.hdri = procedural_hdri(
+                    int(config.get("hdri_height", 64)),
+                    seed=int(config.get("hdri_seed", 11)))
+            else:
+                import cv2
+                self.hdri = cv2.cvtColor(
+                    cv2.imread(hp, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH),
+                    cv2.COLOR_BGR2RGB).astype(np.float32)
+
         self.sampler = None
         if mode == "train":
             from intrinsicavatar_tpu.data.samplers import EdgeSampler
@@ -288,7 +346,7 @@ class CapsuleImageDataset:
             rd = self.rays_d.reshape(-1, 3)
         near, far = near_far_from_transl(self.transl[idx], len(rd))
         rays = np.concatenate([ro, rd, near[:, None], far[:, None]], -1)
-        return {
+        d = {
             "rays": rays.astype(np.float32),
             "rgb": img.astype(np.float32),
             "alpha": msk.astype(np.float32),
@@ -298,6 +356,9 @@ class CapsuleImageDataset:
             **self.pose_batch(idx),
             "t_idx": idx / self.n_frames,
         }
+        if self.hdri is not None:
+            d["hdri"] = self.hdri
+        return d
 
     def train_iter(self, rng=None):
         import jax.numpy as jnp

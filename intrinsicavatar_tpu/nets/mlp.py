@@ -26,15 +26,26 @@ import jax.numpy as jnp
 from intrinsicavatar_tpu.ops.math import get_activation
 
 
+def _matmul(x, w):
+    """Matmul honoring the scoped compute dtype (bf16 in, f32 accumulate
+    on the MXU — the TPU analog of tcnn's fp16 fused MLP)."""
+    from intrinsicavatar_tpu.ops import precision
+    d = precision.current_dtype()
+    if d is not None:
+        return jax.lax.dot(x.astype(d), w.astype(d),
+                           preferred_element_type=jnp.float32)
+    return x @ w
+
+
 def _linear(params, x):
-    return x @ params["w"] + params["b"]
+    return _matmul(x, params["w"]) + params["b"]
 
 
 def _weight_norm(params, x):
     v = params["v"]
     norm = jnp.linalg.norm(v, axis=0, keepdims=True)
     w = params["g"] * v / jnp.maximum(norm, 1e-12)
-    return x @ w + params["b"]
+    return _matmul(x, w) + params["b"]
 
 
 def _softplus100(x):

@@ -192,6 +192,11 @@ def hashgrid_encode_raw(
     N = x.shape[0]
     L, T, F = table.shape
 
+    # reduced-precision scope: gather bf16 rows (gathers are HBM-bandwidth
+    # bound — half the bytes), blend promotes back to f32 downstream
+    from intrinsicavatar_tpu.ops import precision
+    table = precision.cast_in(table)
+
     from intrinsicavatar_tpu.ops.math import vec3_components
     xx, xy, xz = vec3_components(x)
 

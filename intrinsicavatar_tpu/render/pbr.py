@@ -138,16 +138,23 @@ def compute_indirect_radiance(model, params, statics, frame, cond, sched,
                           flags, active)
 
 
-def _secondary_budget(model, smask):
+def _secondary_budget(model, smask, fine=False):
     """Static query budget for secondary-ray field queries.
 
-    Secondary rays mostly escape the occupancy grid within a few steps, so
-    their valid-sample fraction is far below the primary passes' ~0.5;
-    `secondary_query_compaction` (default 0.25) sizes the budget.  Budget
-    overflow degrades gracefully: sample-major compaction drops the far,
-    transmittance-attenuated samples of each ray.
+    Coarse pass: `secondary_query_compaction` (default 0.125) of the
+    ``M x S`` slots — overflow-free by construction when
+    ``secondary_max_valid_samples`` caps each ray at ``frac * S`` occupied
+    samples.  Fine pass (``fine=True``): the post-importance mask has only
+    4 slots per ray and its valid fraction equals the secondary *hit
+    rate* (rays that re-hit the body carry all 4 fine samples), so it
+    gets its own, roomier `secondary_fine_query_compaction` (default
+    0.5 -> safe up to a 50% self-occlusion rate; `ovf_query` reports
+    drops beyond it).  Budget overflow degrades gracefully: sample-major
+    compaction drops the far, transmittance-attenuated samples.
     """
-    frac = float(model.config.get("secondary_query_compaction", 0.25))
+    key = ("secondary_fine_query_compaction" if fine
+           else "secondary_query_compaction")
+    frac = float(model.config.get(key, 0.5 if fine else 0.125))
     M = smask.shape[0] * smask.shape[1]
     return min(max(int(-(-M * frac // 128)) * 128, 128), M)
 
@@ -183,14 +190,23 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
                 jnp.asarray(smask.shape[0] * smask.shape[1], jnp.int32))
 
     if model.secondary_importance_sample:
-        # coarse SDF at interval *starts* (`intrinsic_avatar.py:399-404`)
+        # coarse SDF at interval *starts* (`intrinsic_avatar.py:399-404`).
+        # This pass only PLACES the fine samples (importance resampling),
+        # so it runs under the reduced-precision scope by default — bf16
+        # table gathers + MLP matmuls, f32 accumulation; the fine shading
+        # pass below re-queries in full precision.  Disable with
+        # ``secondary_coarse_dtype: float32``.
+        from intrinsicavatar_tpu.ops import precision
+        cd = str(model.config.get("secondary_coarse_dtype", "bfloat16"))
         pos = (rays_o[:, None, :] + rays_d[:, None, :]
                * t_starts[..., None]).reshape(-1, 3)
-        out = model._deform_query(params, statics, frame, cond, pos, sched,
-                                  with_grad=False, with_feature=False,
-                                  eval_mode=True, global_step=step,
-                                  mask=smask.reshape(-1), mask2d=smask,
-                                  budget=_secondary_budget(model, smask))
+        with precision.scope(None if cd == "float32" else cd):
+            out = model._deform_query(
+                params, statics, frame, cond, pos, sched,
+                with_grad=False, with_feature=False,
+                eval_mode=True, global_step=step,
+                mask=smask.reshape(-1), mask2d=smask,
+                budget=_secondary_budget(model, smask))
         sdf = jax.lax.stop_gradient(out[1]).reshape(t_starts.shape)
         alphas = model.get_alpha(params, sdf, t_ends - t_starts, step)
         alphas = jax.lax.stop_gradient(jnp.where(smask, alphas, 0.0))
@@ -213,7 +229,9 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
                               with_grad=True, with_feature=True,
                               eval_mode=True, global_step=step,
                               mask=smask.reshape(-1), mask2d=smask,
-                              budget=_secondary_budget(model, smask))
+                              budget=_secondary_budget(
+                                  model, smask,
+                                  fine=model.secondary_importance_sample))
     pos_cano, sdf, _, sdf_grad, _, feat = out[:6]
     normal_world = model.deformer.rigid.transform_dirs_s2w(frame, sdf_grad)
     dirs_world = model.deformer.rigid.transform_dirs_s2w(

@@ -148,14 +148,20 @@ def render_frame(system, params, batch, step, key, flags: RenderFlags,
             "comp_rgb_phys_full", "comp_demod_phys_full", "comp_albedo_full",
             "comp_roughness_full", "comp_metallic_full", "rays_valid",
             "visibility")
+    counters: dict = {}
     for i in range(0, R + pad, ray_chunk):
         key, k = jax.random.split(key)
         o = render_chunk(rays_p[i:i + ray_chunk], k)
         outs.append({k2: np.asarray(v) for k2, v in o.items() if k2 in keep})
+        for k2, v in o.get("counters", {}).items():
+            counters[k2] = counters.get(k2, 0) + int(v)
     stitched = {
         k2: np.concatenate([o[k2] for o in outs])[:R]
         for k2 in outs[0]
     }
+    # summed static-budget overflow / occupancy telemetry across chunks
+    # (no silent caps — callers can log or assert on these)
+    stitched["counters"] = counters
     return stitched
 
 

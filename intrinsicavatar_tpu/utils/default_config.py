@@ -44,6 +44,16 @@ def default_config(dataset_length: int = 100) -> ConfigNode:
             "secondary_near_plane": 0.0,
             "secondary_far_plane": 1.5,
             "secondary_importance_sample": True,
+            # secondary-ray query budget: each secondary ray is capped at
+            # its first 8 *occupied* coarse samples (early-termination
+            # analog — rays either escape the grid within a few voxels or
+            # cross the surface, and samples behind the crossing sit at
+            # ~zero transmittance), so a 8/64 = 0.125 compaction budget is
+            # overflow-free BY CONSTRUCTION and halves the dominant
+            # no-grad coarse pass of the phys/relight regimes.  Set
+            # secondary_max_valid_samples: 0 for the exact full march.
+            "secondary_query_compaction": 0.125,
+            "secondary_max_valid_samples": 8,
             "zero_crossing_search": True,
             "resample_light": True,
             "volume_scattering": True,
