@@ -431,7 +431,11 @@ class IntrinsicAvatar:
             pos_q = pos
             dirs_q = jnp.repeat(rays_d, S, axis=0)
             dists_q = dists.reshape(-1)
-            qmask = smask.reshape(-1)
+            # compaction warmup = FULL evaluation: a mask here would still
+            # compact inside _deform_query at the nominal budget (with no
+            # headroom), silently dropping lanes during the all-on-grid
+            # phase the warmup exists to protect
+            qmask = None if flags.full_budget else smask.reshape(-1)
 
         out = self._deform_query(
             params, statics, frame, cond, pos_q, sched,
