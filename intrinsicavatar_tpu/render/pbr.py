@@ -138,7 +138,7 @@ def compute_indirect_radiance(model, params, statics, frame, cond, sched,
                           flags, active)
 
 
-def _secondary_budget(model, smask, fine=False):
+def _secondary_budget(model, smask, fine=False, boost=0):
     """Static query budget for secondary-ray field queries.
 
     Coarse pass: `secondary_query_compaction` (default 0.125) of the
@@ -155,6 +155,7 @@ def _secondary_budget(model, smask, fine=False):
     key = ("secondary_fine_query_compaction" if fine
            else "secondary_query_compaction")
     frac = float(model.config.get(key, 0.5 if fine else 0.125))
+    frac = min(1.0, frac + 0.0625 * boost)   # overflow-feedback escalation
     M = smask.shape[0] * smask.shape[1]
     return min(max(int(-(-M * frac // 128)) * 128, 128), M)
 
@@ -206,7 +207,8 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
                 with_grad=False, with_feature=False,
                 eval_mode=True, global_step=step,
                 mask=smask.reshape(-1), mask2d=smask,
-                budget=_secondary_budget(model, smask))
+                budget=_secondary_budget(model, smask,
+                                         boost=flags.budget_boost))
         sdf = jax.lax.stop_gradient(out[1]).reshape(t_starts.shape)
         alphas = model.get_alpha(params, sdf, t_ends - t_starts, step)
         alphas = jax.lax.stop_gradient(jnp.where(smask, alphas, 0.0))
@@ -231,7 +233,8 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
                               mask=smask.reshape(-1), mask2d=smask,
                               budget=_secondary_budget(
                                   model, smask,
-                                  fine=model.secondary_importance_sample))
+                                  fine=model.secondary_importance_sample,
+                                  boost=flags.budget_boost))
     pos_cano, sdf, _, sdf_grad, _, feat = out[:6]
     normal_world = model.deformer.rigid.transform_dirs_s2w(frame, sdf_grad)
     dirs_world = model.deformer.rigid.transform_dirs_s2w(

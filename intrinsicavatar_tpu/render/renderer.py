@@ -55,6 +55,13 @@ class RenderFlags(NamedTuple):
     # sample fraction then approaches 1.0 and a fractional budget would
     # silently drop the far samples of every ray (ADVICE round-2).
     full_budget: bool = False
+    # overflow-feedback escalation: each level adds +1/16 headroom to every
+    # fractional query budget (primary shading, candidate query, secondary
+    # coarse/fine).  The training loop bumps it when a logged ovf_* counter
+    # is nonzero, so a pose/schedule change that blows a static budget
+    # costs one recompile instead of silently biasing renders ("no silent
+    # caps", VERDICT round-2).
+    budget_boost: int = 0
 
 
 @register("intrinsic-avatar")
@@ -167,7 +174,7 @@ class IntrinsicAvatar:
     def _deform_query(self, params, statics, frame, cond, pts, sched,
                       with_grad, with_feature, with_laplace=False,
                       eval_mode=True, rng=None, global_step=0, mask=None,
-                      budget=None, mask2d=None):
+                      budget=None, mask2d=None, boost=0):
         """Canonicalize + query geometry; returns the deformer output list.
 
         When ``mask`` is given and query compaction is enabled, only a fixed
@@ -197,7 +204,8 @@ class IntrinsicAvatar:
         from intrinsicavatar_tpu.utils import diag
         M = pts.shape[0]
         if budget is None:
-            budget = int(np.ceil(M * float(frac) / 128.0)) * 128
+            budget = int(np.ceil(
+                M * min(1.0, float(frac) + 0.0625 * boost) / 128.0)) * 128
         budget = min(max(budget, 128), M)
         diag.record("ovf_query", jax.nn.relu(
             jnp.sum(mask.astype(jnp.int32)) - budget))
@@ -235,7 +243,8 @@ class IntrinsicAvatar:
 
     def _coarse_sdf_at_edges(self, params, statics, frame, cond, sched,
                              rays_o, rays_d, iv: RayIntervals, step,
-                             prev_sdf=None, is_new=None, full_budget=False):
+                             prev_sdf=None, is_new=None, full_budget=False,
+                             boost=0):
         """SDF at (new) edge values; invalid slots get 1e10
         (`models/intrinsic_avatar.py:955-998` coarse_alpha_fn)."""
         R, E = iv.vals.shape
@@ -250,7 +259,7 @@ class IntrinsicAvatar:
                                  with_grad=False, with_feature=False,
                                  eval_mode=True, global_step=step,
                                  mask=qmask.reshape(-1), budget=nb,
-                                 mask2d=qmask)
+                                 mask2d=qmask, boost=boost)
         sdf_new = jax.lax.stop_gradient(out[1]).reshape(R, E)
         if prev_sdf is not None:
             sdf = jnp.where(is_new, sdf_new, prev_sdf)
@@ -270,7 +279,7 @@ class IntrinsicAvatar:
 
     def _importance_resample(self, params, statics, frame, cond, sched,
                              rays_o, rays_d, iv: RayIntervals, step,
-                             full_budget=False):
+                             full_budget=False, boost=0):
         """Merge-resampling rounds (`models/intrinsic_avatar.py:1184-1238`).
 
         Per-edge SDF values are cached across rounds through the merge's
@@ -283,7 +292,7 @@ class IntrinsicAvatar:
         # round 0: SDF at all (valid) initial edges
         sdf = self._coarse_sdf_at_edges(params, statics, frame, cond, sched,
                                         rays_o, rays_d, iv, step,
-                                        full_budget=full_budget)
+                                        full_budget=full_budget, boost=boost)
         for r in range(self.n_importance_rounds):
             alphas, _ = self._edge_alphas_min_sdf(params, iv, sdf, step)
             alphas = jax.lax.stop_gradient(alphas)
@@ -302,7 +311,7 @@ class IntrinsicAvatar:
                 axis=1)
             sdf = self._coarse_sdf_at_edges(
                 params, statics, frame, cond, sched, rays_o, rays_d, iv,
-                step, prev_sdf=carried, is_new=merged.is_new)
+                step, prev_sdf=carried, is_new=merged.is_new, boost=boost)
         return iv
 
     # ------------------------------------------------------------ forward
@@ -336,7 +345,8 @@ class IntrinsicAvatar:
         if flags.importance_sample:
             iv = self._importance_resample(params, statics, frame, cond,
                                            sched, rays_o, rays_d, iv, step,
-                                           full_budget=flags.full_budget)
+                                           full_budget=flags.full_budget,
+                                           boost=flags.budget_boost)
         t_starts, t_ends, smask = intervals_to_samples(iv)
         return (jax.lax.stop_gradient(t_starts),
                 jax.lax.stop_gradient(t_ends), smask)
@@ -413,11 +423,13 @@ class IntrinsicAvatar:
         if use_compact:
             from intrinsicavatar_tpu.ops.compact import (
                 compact_indices_interleaved)
-            # +1/16 headroom over the nominal fraction: the sample-validity
-            # fraction hovers around frac itself after importance merging
+            # +1/16 headroom over the nominal fraction (more under
+            # overflow-feedback escalation): the sample-validity fraction
+            # hovers around frac itself after importance merging
             # (overflow is observable via the ovf_shading counter)
-            budget = int(np.ceil(Mfull * min(1.0, float(frac) + 0.0625)
-                                 / 128.0)) * 128
+            budget = int(np.ceil(Mfull * min(
+                1.0, float(frac) + 0.0625 * (1 + flags.budget_boost))
+                / 128.0)) * 128
             budget = min(max(budget, 128), Mfull)
             diag.record("ovf_shading", jax.nn.relu(
                 jnp.sum(smask.astype(jnp.int32)) - budget))
@@ -441,7 +453,7 @@ class IntrinsicAvatar:
             params, statics, frame, cond, pos_q, sched,
             with_grad=True, with_feature=True, with_laplace=False,
             eval_mode=not flags.training, rng=k_lap, global_step=step,
-            mask=qmask)
+            mask=qmask, boost=flags.budget_boost)
         pos_cano, sdf, valid, sdf_grad, sdf_grad_cano, feat = out[:6]
 
         # Curvature on a random SUBSET of the shading lanes: the tangent

@@ -72,6 +72,13 @@ class IntrinsicAvatarSystem:
         self.occ_update_every = config.system.get("occ_update_every", 20)
         self.statics = None
         self.tx = None
+        # overflow-feedback budget escalation (RenderFlags.budget_boost):
+        # bumped by fit() when a logged ovf_* counter is nonzero; each
+        # level adds +1/16 headroom to every fractional query budget at
+        # the cost of one recompile
+        self._budget_boost = 0
+        self._budget_boost_max = int(
+            config.system.get("budget_boost_max", 6))
         # optional device mesh: when set (launch --mesh / multi-device
         # autodetect), train_step shards the ray batch over it with
         # replicated params (`parallel/sharding.py`) — the TPU-native
@@ -116,6 +123,7 @@ class IntrinsicAvatarSystem:
             # ray during the first few hundred steps)
             full_budget=training and step < mcfg.get(
                 "compaction_warmup_steps", 512),
+            budget_boost=self._budget_boost,
         )
 
     # ------------------------------------------------------------ losses
@@ -322,14 +330,23 @@ class IntrinsicAvatarSystem:
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def sample_step(self, state: TrainState, batch, t_idx,
                     flags: RenderFlags):
-        """Gradient-free marching + importance rounds as its own jit."""
+        """Gradient-free marching + importance rounds as its own jit.
+
+        Runs under its own ``diag.collect`` scope so the budget-overflow
+        counters recorded by the coarse/importance field queries
+        (``ovf_query``) are not silently dropped by the two-jit split;
+        :meth:`train_step` folds them into the loss scalars."""
+        from intrinsicavatar_tpu.utils import diag
         _, _, k_fwd = jax.random.split(state.rng, 3)
         k_strat = jax.random.split(k_fwd, 4)[0]
         frame, cond = self.model.prepare(state.params, self.statics, batch,
                                          state.step)
-        return self.model.sample_intervals(
-            state.params, self.statics, frame, cond, state.occ,
-            batch["rays"], k_strat, state.step, flags, t_idx)
+        with diag.collect() as counters:
+            iv = self.model.sample_intervals(
+                state.params, self.statics, frame, cond, state.occ,
+                batch["rays"], k_strat, state.step, flags, t_idx)
+        return iv, {k: jnp.asarray(v, jnp.int32)
+                    for k, v in counters.items()}
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def train_step_jit(self, state: TrainState, batch, t_idx,
@@ -352,12 +369,20 @@ class IntrinsicAvatarSystem:
         per-chip ray count already shrinks by the mesh size)."""
         if self.mesh is not None:
             return self.sharded_train_step(state, batch, t_idx, flags)
-        intervals = self.sample_step(state, batch, t_idx, flags)
+        intervals, s_counters = self.sample_step(state, batch, t_idx, flags)
         n_micro = int(self.config.trainer.get("grad_accum", 1))
         if n_micro <= 1 or batch["rays"].shape[0] % n_micro != 0:
-            return self.train_step_jit(state, batch, t_idx, flags, intervals)
-        return self._train_step_accum(state, batch, t_idx, flags, intervals,
-                                      n_micro)
+            state, losses = self.train_step_jit(state, batch, t_idx, flags,
+                                                intervals)
+        else:
+            state, losses = self._train_step_accum(state, batch, t_idx,
+                                                   flags, intervals, n_micro)
+        # fold sampling-stage overflow counters into the loss scalars
+        # (summing with any same-named counter from the shading stage)
+        losses = dict(losses)
+        for k, v in s_counters.items():
+            losses[k] = losses[k] + v if k in losses else v
+        return state, losses
 
     # ------------------------------------------------------- device mesh
 
@@ -597,6 +622,22 @@ class IntrinsicAvatarSystem:
                 scalars = {k: float(v) for k, v in
                            jax.device_get(losses).items() if np.ndim(v) == 0}
                 scalars["rays_per_sec"] = tput.rays_per_sec
+                # overflow-feedback budget escalation: a nonzero ovf_*
+                # counter means a static query budget silently dropped
+                # lanes this step -> widen every budget by +1/16 (one
+                # recompile) rather than keep biasing renders/losses
+                # only the counters the boost actually widens (shading +
+                # field-query fractions; broyden/candidate caps have their
+                # own counters but fixed structure)
+                ovf = sum(scalars.get(k, 0.0)
+                          for k in ("ovf_shading", "ovf_query"))
+                if ovf > 0 and self._budget_boost < self._budget_boost_max:
+                    self._budget_boost += 1
+                    scalars["budget_boost"] = float(self._budget_boost)
+                    print(f"[{step}] budget overflow ({int(ovf)} lanes) -> "
+                          f"boost {self._budget_boost} (+"
+                          f"{self._budget_boost * 6.25:.2f}% headroom, "
+                          "recompile)", flush=True)
                 # host-side mirror of train/schedules.lr_schedule (eager jnp
                 # over the TPU tunnel would round-trip per log step)
                 sch = self.config.system.get("scheduler", {})

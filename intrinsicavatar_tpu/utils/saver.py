@@ -57,18 +57,30 @@ def save_image_grid(path, imgs, ncols=None):
 
 
 def save_hdr(path, img):
-    """HDR image: EXR if supported by imageio plugins, else .npy."""
+    """HDR image: EXR if an imageio backend supports it, else Radiance
+    ``.hdr`` (RGBE — the format of the reference's relighting HDRIs),
+    else raw ``.npy``."""
     img = np.asarray(img, np.float32)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     try:
         import imageio.v2 as imageio
-
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        imageio.imwrite(path, img)
-        return path
     except Exception:
-        alt = os.path.splitext(path)[0] + ".npy"
-        np.save(alt, img)
-        return alt
+        imageio = None
+    if imageio is not None:
+        try:
+            imageio.imwrite(path, img)
+            return path
+        except Exception:
+            pass
+        try:
+            alt = os.path.splitext(path)[0] + ".hdr"
+            imageio.imwrite(alt, img)
+            return alt
+        except Exception:
+            pass
+    alt = os.path.splitext(path)[0] + ".npy"
+    np.save(alt, img)
+    return alt
 
 
 def save_video(path, frames, fps=30):

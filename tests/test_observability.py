@@ -42,6 +42,47 @@ def test_forced_shading_overflow_is_counted():
     assert "ovf_candidates" in losses
 
 
+def test_budget_boost_widens_budget_and_clears_overflow():
+    """Overflow-feedback escalation: fit() bumps RenderFlags.budget_boost
+    when a logged ovf_shading/ovf_query is nonzero; a sufficient boost
+    widens the fractional budgets enough that the counter returns to 0."""
+    cfg = tiny_config()
+    cfg.model.query_compaction = 0.05   # force overflow at boost 0
+    sys_ = IntrinsicAvatarSystem(cfg)
+    state = sys_.setup(np.zeros(10), jax.random.PRNGKey(0))
+    batch = make_batch(R=256)
+    # step past the importance kick-in so the sampling stage records
+    # ovf_query too (via the sample_step counter fold)
+    flags0 = sys_.flags_for_step(1200)
+    _, losses0 = sys_.train_step(state, batch, 0.0, flags0)
+    assert float(losses0["ovf_shading"]) > 0
+    assert "ovf_query" in losses0
+    # boost high enough to cover the full valid fraction: 0.05 + 16/16 > 1
+    flags_hi = flags0._replace(budget_boost=16)
+    _, losses_hi = sys_.train_step(state, batch, 0.0, flags_hi)
+    assert float(losses_hi["ovf_shading"]) == 0
+    assert float(losses_hi["ovf_query"]) == 0
+
+
+def test_fit_bumps_boost_on_overflow():
+    """Two fit() steps with an overflowing budget: the logged first step
+    must raise the system's boost level for subsequent flags."""
+    cfg = tiny_config()
+    cfg.model.query_compaction = 0.05
+    sys_ = IntrinsicAvatarSystem(cfg)
+    state = sys_.setup(np.zeros(10), jax.random.PRNGKey(0))
+    state = state._replace(step=jnp.asarray(600, jnp.int32))
+
+    def it():
+        while True:
+            yield make_batch(R=256), 0.0
+
+    assert sys_._budget_boost == 0
+    sys_.fit(it(), state, 601, log_every=1, prefetch=False)
+    assert sys_._budget_boost >= 1
+    assert sys_.flags_for_step(601).budget_boost == sys_._budget_boost
+
+
 def test_no_overflow_in_nominal_config():
     cfg = tiny_config()
     sys_ = IntrinsicAvatarSystem(cfg)
