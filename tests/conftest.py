@@ -25,6 +25,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables + tracing caches between test modules.
+
+    A full-suite run accumulates hundreds of XLA:CPU executables across
+    one process; past ~115 tests the next LLVM compile segfaults
+    (reproduced twice at the same index, while every module passes
+    standalone).  Per-module cache clearing keeps the compiler state
+    bounded — the hygiene the reference gets for free from per-process
+    CUDA test isolation."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
