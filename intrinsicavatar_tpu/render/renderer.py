@@ -62,6 +62,13 @@ class RenderFlags(NamedTuple):
     # costs one recompile instead of silently biasing renders ("no silent
     # caps", VERDICT round-2).
     budget_boost: int = 0
+    # occupancy-adaptive primary shading budget in 16ths (0 = use the
+    # config's query_compaction fraction).  Published by the training
+    # loop from the measured valid-sample fraction with hysteresis
+    # (`adaptive_query_compaction: true`); a tight occupancy grid then
+    # shrinks the shading row count instead of spending the static
+    # budget on empty space.
+    budget_frac_n16: int = 0
 
 
 @register("intrinsic-avatar")
@@ -418,8 +425,20 @@ class IntrinsicAvatar:
         with_lap = flags.training and flags.with_curvature_loss
         Mfull = R * S
         frac = self.config.get("query_compaction", 0.5)
+        # occupancy-adaptive override: the training loop tracks the
+        # measured valid-sample fraction (EMA of shading_valid_samples /
+        # shading_total_samples) and publishes a bucketed fraction in
+        # 16ths through the static flags — tight occupancy grids then
+        # stop paying for empty-space sample slots
+        if flags.budget_frac_n16 > 0:
+            frac = flags.budget_frac_n16 / 16.0
         use_compact = bool(frac) and Mfull >= 4096 \
             and not flags.full_budget
+        # valid-fraction telemetry feeding the adaptive budget
+        diag.record("shading_valid_samples",
+                    jnp.sum(smask.astype(jnp.int32)))
+        diag.record("shading_total_samples",
+                    jnp.asarray(Mfull, jnp.int32))
         if use_compact:
             from intrinsicavatar_tpu.ops.compact import (
                 compact_indices_interleaved)

@@ -79,6 +79,13 @@ class IntrinsicAvatarSystem:
         self._budget_boost = 0
         self._budget_boost_max = int(
             config.system.get("budget_boost_max", 6))
+        # occupancy-adaptive primary shading budget (opt-in): track the
+        # measured valid-sample fraction and publish a bucketed fraction
+        # (16ths, hysteresis >= 2/16) through RenderFlags.budget_frac_n16
+        self._adaptive_budget = bool(
+            config.model.get("adaptive_query_compaction", False))
+        self._valid_frac_ema = None
+        self._budget_frac_n16 = 0
         # optional device mesh: when set (launch --mesh / multi-device
         # autodetect), train_step shards the ray batch over it with
         # replicated params (`parallel/sharding.py`) — the TPU-native
@@ -124,7 +131,27 @@ class IntrinsicAvatarSystem:
             full_budget=training and step < mcfg.get(
                 "compaction_warmup_steps", 512),
             budget_boost=self._budget_boost,
+            budget_frac_n16=self._budget_frac_n16,
         )
+
+    def _update_adaptive_budget(self, valid, total) -> None:
+        """Feed one measured (valid, total) sample-count pair into the
+        adaptive-budget controller.  The EMA of the valid fraction picks
+        a bucket of ceil(1.25 * ema * 16)/16; the published bucket only
+        moves on a >= 2/16 difference (hysteresis: each move recompiles).
+        The overflow escalator still adds headroom on top, so an
+        under-estimate degrades to one recompile, not a silent bias."""
+        if not self._adaptive_budget or not total:
+            return
+        frac = float(valid) / float(total)
+        self._valid_frac_ema = frac if self._valid_frac_ema is None else \
+            0.8 * self._valid_frac_ema + 0.2 * frac
+        cand = int(np.clip(np.ceil(self._valid_frac_ema * 1.25 * 16.0),
+                           2, 16))
+        cur = self._budget_frac_n16
+        if cur == 0 or abs(cand - cur) >= 2 or cand > cur:
+            if cand != cur:
+                self._budget_frac_n16 = cand
 
     # ------------------------------------------------------------ losses
 
@@ -638,6 +665,17 @@ class IntrinsicAvatarSystem:
                           f"boost {self._budget_boost} (+"
                           f"{self._budget_boost * 6.25:.2f}% headroom, "
                           "recompile)", flush=True)
+                # occupancy-adaptive budget: feed the measured valid
+                # fraction (microbatch sums normalize in the ratio)
+                prev_n16 = self._budget_frac_n16
+                self._update_adaptive_budget(
+                    scalars.get("shading_valid_samples", 0.0),
+                    scalars.get("shading_total_samples", 0.0))
+                if self._budget_frac_n16 != prev_n16:
+                    scalars["budget_frac_n16"] = float(self._budget_frac_n16)
+                    print(f"[{step}] adaptive shading budget -> "
+                          f"{self._budget_frac_n16}/16 (recompile)",
+                          flush=True)
                 # host-side mirror of train/schedules.lr_schedule (eager jnp
                 # over the TPU tunnel would round-trip per log step)
                 sch = self.config.system.get("scheduler", {})

@@ -53,6 +53,10 @@ def default_config(dataset_length: int = 100) -> ConfigNode:
             # no-grad coarse pass of the phys/relight regimes.  Set
             # secondary_max_valid_samples: 0 for the exact full march.
             "secondary_query_compaction": 0.125,
+            # opt-in: track the measured primary valid-sample fraction
+            # (bucketed 16ths, hysteresis) instead of the static
+            # query_compaction fraction; overflow escalation still guards
+            "adaptive_query_compaction": False,
             "secondary_max_valid_samples": 8,
             "zero_crossing_search": True,
             "resample_light": True,

@@ -83,6 +83,66 @@ def test_fit_bumps_boost_on_overflow():
     assert sys_.flags_for_step(601).budget_boost == sys_._budget_boost
 
 
+def test_adaptive_budget_controller_hysteresis():
+    """Bucket = ceil(1.25 * ema * 16), moves up eagerly, down only on a
+    >= 2/16 difference (each move costs a recompile)."""
+    cfg = tiny_config()
+    cfg.model.adaptive_query_compaction = True
+    sys_ = IntrinsicAvatarSystem(cfg)
+    sys_._update_adaptive_budget(50, 100)      # ema=0.5 -> cand=10
+    assert sys_._budget_frac_n16 == 10
+    sys_._update_adaptive_budget(50, 100)      # stable
+    assert sys_._budget_frac_n16 == 10
+    # decaying occupancy: no move until the candidate is 2 buckets away
+    for _ in range(30):
+        sys_._update_adaptive_budget(10, 100)
+    # converges to 4: cand = ceil(0.1*1.25*16) = 3, hysteresis holds at 4
+    assert sys_._budget_frac_n16 <= 4
+    # growing occupancy moves up on the next measurement
+    for _ in range(8):
+        sys_._update_adaptive_budget(90, 100)
+    assert sys_._budget_frac_n16 >= 14
+    # disabled controller never publishes
+    cfg2 = tiny_config()
+    sys2 = IntrinsicAvatarSystem(cfg2)
+    sys2._update_adaptive_budget(50, 100)
+    assert sys2._budget_frac_n16 == 0
+    assert sys2.flags_for_step(600).budget_frac_n16 == 0
+
+
+def test_adaptive_budget_flag_overrides_config_fraction():
+    """budget_frac_n16=16 widens the 0.05 config fraction to full -> the
+    forced overflow from the tiny budget disappears."""
+    cfg = tiny_config()
+    cfg.model.query_compaction = 0.05
+    sys_ = IntrinsicAvatarSystem(cfg)
+    state = sys_.setup(np.zeros(10), jax.random.PRNGKey(0))
+    batch = make_batch(R=256)
+    flags = sys_.flags_for_step(600)._replace(budget_frac_n16=16)
+    _, losses = sys_.train_step(state, batch, 0.0, flags)
+    assert float(losses["ovf_shading"]) == 0
+    # telemetry the controller feeds on is present
+    assert float(losses["shading_total_samples"]) > 0
+    assert 0 < float(losses["shading_valid_samples"]) \
+        <= float(losses["shading_total_samples"])
+
+
+def test_fit_publishes_adaptive_budget():
+    cfg = tiny_config()
+    cfg.model.adaptive_query_compaction = True
+    sys_ = IntrinsicAvatarSystem(cfg)
+    state = sys_.setup(np.zeros(10), jax.random.PRNGKey(0))
+    state = state._replace(step=jnp.asarray(600, jnp.int32))
+
+    def it():
+        while True:
+            yield make_batch(R=256), 0.0
+
+    sys_.fit(it(), state, 601, log_every=1, prefetch=False)
+    assert sys_._budget_frac_n16 > 0
+    assert sys_.flags_for_step(601).budget_frac_n16 == sys_._budget_frac_n16
+
+
 def test_no_overflow_in_nominal_config():
     cfg = tiny_config()
     sys_ = IntrinsicAvatarSystem(cfg)
