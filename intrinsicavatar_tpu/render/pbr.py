@@ -222,19 +222,27 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
         t_starts = jnp.where(smask, t_starts, 0.0)
         t_ends = jnp.where(smask, t_ends, 0.0)
 
-    # shading pass at midpoints
+    # shading pass at midpoints.  ``secondary_fine_dtype: bfloat16``
+    # extends the reduced-precision scope to this pass too (gathers +
+    # matmuls bf16, f32 accumulation) — secondary radiance is indirect
+    # light behind at least one transmittance factor, so half-precision
+    # normals/features there perturb Lo far below the MC noise floor at
+    # training spp; default float32 (exact).
+    from intrinsicavatar_tpu.ops import precision
+    fd = str(model.config.get("secondary_fine_dtype", "float32"))
     Sf = t_starts.shape[1]
     mids = 0.5 * (t_starts + t_ends)
     pos = (rays_o[:, None, :] + rays_d[:, None, :] * mids[..., None]
            ).reshape(-1, 3)
-    out = model._deform_query(params, statics, frame, cond, pos, sched,
-                              with_grad=True, with_feature=True,
-                              eval_mode=True, global_step=step,
-                              mask=smask.reshape(-1), mask2d=smask,
-                              budget=_secondary_budget(
-                                  model, smask,
-                                  fine=model.secondary_importance_sample,
-                                  boost=flags.budget_boost))
+    with precision.scope(None if fd == "float32" else fd):
+        out = model._deform_query(params, statics, frame, cond, pos, sched,
+                                  with_grad=True, with_feature=True,
+                                  eval_mode=True, global_step=step,
+                                  mask=smask.reshape(-1), mask2d=smask,
+                                  budget=_secondary_budget(
+                                      model, smask,
+                                      fine=model.secondary_importance_sample,
+                                      boost=flags.budget_boost))
     pos_cano, sdf, _, sdf_grad, _, feat = out[:6]
     normal_world = model.deformer.rigid.transform_dirs_s2w(frame, sdf_grad)
     dirs_world = model.deformer.rigid.transform_dirs_s2w(

@@ -61,6 +61,34 @@ def test_mlp_bf16_close_to_f32(rng):
     assert float(jnp.max(jnp.abs(lo - ref))) / scale < 2e-2
 
 
+def test_secondary_fine_bf16_matches_f32_phys_render():
+    """`secondary_fine_dtype: bfloat16` extends the scope to the secondary
+    shading pass (it sits under stop_gradient — forward compute only).
+    The phys losses must stay finite and close to the f32 path."""
+    from intrinsicavatar_tpu.train.system import IntrinsicAvatarSystem
+    from intrinsicavatar_tpu.utils.default_config import tiny_config
+    from test_train import make_batch
+
+    losses = {}
+    for fd in ("float32", "bfloat16"):
+        cfg = tiny_config()
+        cfg.model.phys_kick_in_step = 0
+        cfg.model.secondary_fine_dtype = fd
+        sys_ = IntrinsicAvatarSystem(cfg)
+        state = sys_.setup(np.zeros(10), jax.random.PRNGKey(0))
+        batch = make_batch(R=64)
+        flags = sys_.flags_for_step(600)
+        assert flags.enable_phys
+        _, ls = sys_.train_step(state, batch, 0.0, flags)
+        losses[fd] = {k: float(v) for k, v in ls.items() if np.ndim(v) == 0}
+    a, b = losses["float32"], losses["bfloat16"]
+    assert np.isfinite(b["rgb_phys_l1"]) and np.isfinite(b["total"])
+    # indirect radiance sits behind a transmittance factor; bf16 there
+    # moves the phys loss well under the MC noise floor
+    assert abs(a["rgb_phys_l1"] - b["rgb_phys_l1"]) \
+        <= 0.05 * max(abs(a["rgb_phys_l1"]), 1e-3)
+
+
 def test_mlp_weight_norm_bf16(rng):
     mlp = VanillaMLP(8, 1, n_neurons=32, n_hidden_layers=1,
                      sphere_init=True, weight_norm=True)
