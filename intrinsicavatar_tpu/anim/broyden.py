@@ -325,7 +325,8 @@ _COMPACT_DIV = 4
 _TWO_PHASE_MIN_M = 65536
 
 
-@partial(jax.jit, static_argnames=("max_iters", "shape_dhw", "two_phase"))
+@partial(jax.jit, static_argnames=("max_iters", "shape_dhw", "two_phase",
+                                   "compact_div"))
 def broyden_search(
     xd: jax.Array,          # [M, 3] deformed targets (lane-expanded)
     bone_idx: jax.Array,    # [M] int32 initialization bone per lane
@@ -338,6 +339,7 @@ def broyden_search(
     dvg_thresh: float = 1e-1,
     max_iters: int = 10,
     two_phase: bool | None = None,
+    compact_div: int = _COMPACT_DIV,
 ) -> BroydenResult:
     """Broyden inverse-LBS search (`fuse_cuda_kernel_fast.cu:253-419`).
 
@@ -413,7 +415,7 @@ def broyden_search(
     out1 = s[20:]                                      # 12 x [M]
 
     # ---- compact still-active lanes to a fixed budget -----------------
-    M2 = max(128, (M // _COMPACT_DIV + 127) // 128 * 128)
+    M2 = max(128, (M // max(1, int(compact_div)) + 127) // 128 * 128)
     active = ~done1
     pos = jnp.cumsum(active.astype(jnp.int32)) - 1     # slot per active lane
     lane_ids = jnp.arange(M, dtype=jnp.int32)

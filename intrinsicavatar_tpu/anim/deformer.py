@@ -83,6 +83,10 @@ class FastSNARF:
         self.cvg_thresh = dcfg.get("cvg", 1e-5)
         self.dvg_thresh = dcfg.get("dvg", 1e-1)
         self.max_candidates = dcfg.get("max_candidates", 4)
+        # phase-2 compaction budget divisor (M/div lanes; ADVICE round-2:
+        # configurable escape hatch — set 1 to disable lane dropping
+        # entirely if ovf_broyden_phase2 ever fires on a real body)
+        self.broyden_compact_div = int(dcfg.get("broyden_compact_div", 4))
         # Broyden initializations actually searched per point.  The
         # reference always runs all 13 bone inits
         # (`deformer_torch.py:27,94-125`); pruning to the K inits whose
@@ -285,6 +289,7 @@ class FastSNARF:
             jnp.asarray(self.spec.scale_kernel),
             shape_dhw=self.spec.shape_dhw,
             cvg_thresh=self.cvg_thresh, dvg_thresh=self.dvg_thresh,
+            compact_div=self.broyden_compact_div,
         )
         return res
 
