@@ -52,7 +52,7 @@ def ray_aabb_intersect(rays_o: jax.Array, rays_d: jax.Array,
     return t_min, t_max
 
 
-@partial(jax.jit, static_argnames=("num_steps",))
+@partial(jax.jit, static_argnames=("num_steps", "concentrate"))
 def occupancy_sampling(
     rays_o: jax.Array,        # [R, 3]
     rays_d: jax.Array,        # [R, 3] (normalized)
@@ -63,15 +63,31 @@ def occupancy_sampling(
     near: jax.Array | None = None,   # [R]
     far: jax.Array | None = None,    # [R]
     stratified_u: jax.Array | None = None,  # [R] in [0,1)
+    concentrate: int = 0,
 ) -> RayIntervals:
     """March rays through the binary grid; emit edge-list intervals.
 
     ``stratified_u`` shifts each ray's march start by ``u * step_size``
     (matching `temporal_occ_grid.py:164-166`).
+
+    ``concentrate = c > 0`` enables DDA-parity sample concentration: the
+    ray is probed at ``c``-times finer steps over the same march length,
+    and up to ``num_steps`` *occupied* probe steps are kept — every
+    sample then lands inside occupied space (the property of nerfacc's
+    DDA the uniform march loses), and thin structures get up to ``c``-x
+    finer sampling.  When a ray crosses more than ``num_steps`` occupied
+    probe steps the kept set is a stratified (every ``n_occ/S``-th)
+    subset — an evenly-thinned march at an effective step no coarser
+    than the ``concentrate=0`` step, replacing the uniform march's
+    far-tail truncation bias.  The edge-slot width grows from ``S+1``
+    to ``c*S + 1``.
     """
     R = rays_o.shape[0]
     S = num_steps
     res = binaries.shape[0]
+    c = int(concentrate)
+    P = c * S if c > 0 else S                     # probe steps
+    dt = step_size / c if c > 0 else step_size
 
     t_enter, t_exit = ray_aabb_intersect(rays_o, rays_d, aabb)
     t_enter = jnp.maximum(t_enter, 0.0)
@@ -80,12 +96,12 @@ def occupancy_sampling(
     if far is not None:
         t_exit = jnp.minimum(t_exit, far)
     if stratified_u is not None:
-        t_enter = t_enter + stratified_u * step_size
+        t_enter = t_enter + stratified_u * dt
 
-    i = jnp.arange(S + 1, dtype=rays_o.dtype)
-    edges = t_enter[:, None] + i[None, :] * step_size          # [R, S+1]
+    i = jnp.arange(P + 1, dtype=rays_o.dtype)
+    edges = t_enter[:, None] + i[None, :] * dt                 # [R, P+1]
 
-    mids = 0.5 * (edges[:, :-1] + edges[:, 1:])                # [R, S]
+    mids = 0.5 * (edges[:, :-1] + edges[:, 1:])                # [R, P]
     pos = rays_o[:, None, :] + rays_d[:, None, :] * mids[..., None]
     ext = aabb[3:] - aabb[:3]
     v = jnp.floor((pos - aabb[:3]) / ext * res).astype(jnp.int32)
@@ -94,6 +110,22 @@ def occupancy_sampling(
     occ = binaries[vc[..., 0], vc[..., 1], vc[..., 2]]
     hit = t_exit > t_enter
     occ = occ & in_grid & (edges[:, 1:] <= t_exit[:, None]) & hit[:, None]
+
+    if c > 0:
+        # stratified selection of at most S occupied probe steps
+        cum = jnp.cumsum(occ.astype(jnp.int32), axis=1)        # [R, P]
+        n_occ = cum[:, -1]                                     # [R]
+        k = jnp.arange(S, dtype=jnp.int32)
+        # rank of the k-th stratum's representative (n_occ > S branch);
+        # ranks are strictly increasing so no probe step repeats
+        r = jnp.floor(((k[None, :] + 0.5) * n_occ[:, None]) / S
+                      ).astype(jnp.int32)                      # [R, S]
+        j = jax.vmap(lambda cr, rr: jnp.searchsorted(
+            cr, rr + 1, side="left"))(cum, r)                  # [R, S]
+        j = jnp.clip(j, 0, P - 1)
+        sel_strat = jnp.zeros((R, P), bool).at[
+            jnp.arange(R)[:, None], j].set(True) & occ
+        occ = jnp.where((n_occ <= S)[:, None], occ, sel_strat)
 
     occ_pad_l = jnp.pad(occ, ((0, 0), (1, 0)))                 # occ[i-1]
     is_left = jnp.pad(occ, ((0, 0), (0, 1)))                   # edge opens i

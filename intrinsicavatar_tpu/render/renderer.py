@@ -347,7 +347,8 @@ class IntrinsicAvatar:
         iv = occupancy_sampling(
             rays_o, rays_d, occ.binaries[lvl], occ.aabbs[lvl],
             self.render_step_size, self.num_samples_per_ray,
-            near=near, far=far, stratified_u=strat_u)
+            near=near, far=far, stratified_u=strat_u,
+            concentrate=int(self.config.get("march_concentrate", 0)))
 
         if flags.importance_sample:
             iv = self._importance_resample(params, statics, frame, cond,

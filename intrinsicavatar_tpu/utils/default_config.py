@@ -57,6 +57,12 @@ def default_config(dataset_length: int = 100) -> ConfigNode:
             # (bucketed 16ths, hysteresis) instead of the static
             # query_compaction fraction; overflow escalation still guards
             "adaptive_query_compaction": False,
+            # opt-in DDA-parity sample concentration (c > 0): probe the
+            # primary march at c-x finer steps and keep up to
+            # num_samples_per_ray *occupied* probe steps — no sample
+            # budget spent on empty space; thin limbs get c-x finer
+            # sampling (ops/grid_traversal.py occupancy_sampling)
+            "march_concentrate": 0,
             "secondary_max_valid_samples": 8,
             "zero_crossing_search": True,
             "resample_light": True,
