@@ -109,6 +109,35 @@ def test_peoplesnapshot_train_and_val(tmp_path):
     assert "t_idx" not in batch and batch["rays"].shape == (256, 8)
 
 
+def test_peoplesnapshot_trains_end_to_end(tmp_path):
+    """The real-data path (images + masks + SMPL poses from disk) drives
+    the training system, not just the loader: two descending steps on a
+    fabricated PeopleSnapshot layout (the committed runs use the synthetic
+    capsule loader, so this is the image-loader -> fit contract check)."""
+    import jax
+    from intrinsicavatar_tpu.data.peoplesnapshot import PeopleSnapshotDataset
+    from intrinsicavatar_tpu.train.system import IntrinsicAvatarSystem
+    from intrinsicavatar_tpu.utils.default_config import tiny_config
+
+    root = _peoplesnapshot_root(tmp_path)
+    dcfg = wrap({"dataroot": root, "opt": {
+        "train": _opt(sampler={"name": "edge", "num_sample": 128,
+                               "ratio_mask": 0.6, "ratio_edge": 0.3,
+                               "kernel_size": 4}),
+        "val": _opt(),
+    }})
+    ds = PeopleSnapshotDataset(dcfg, split="train", mode="train",
+                               rng=np.random.default_rng(0))
+    cfg = tiny_config()
+    sys_ = IntrinsicAvatarSystem(cfg)
+    state = sys_.setup(ds.betas, jax.random.PRNGKey(0), n_frames=len(ds))
+    state, history = sys_.fit(ds.train_iter(np.random.default_rng(1)),
+                              state, 2, log_every=1, prefetch=False)
+    assert int(state.step) == 2
+    losses = dict(history[-1][1])
+    assert np.isfinite(losses["total"])
+
+
 def test_zju_mocap_multicam(tmp_path):
     from intrinsicavatar_tpu.data.zju_mocap import ZJUMoCapDataset
 
