@@ -294,7 +294,7 @@ class FastSNARF:
         return res
 
     def _query_geometry_compact(self, geometry_fn, xc_flat, valid_flat,
-                                with_jac):
+                                with_jac, boost=0):
         """Run the canonical field only on valid candidate lanes.
 
         After duplicate filtering most of the K candidate slots per point
@@ -316,6 +316,11 @@ class FastSNARF:
 
         M = xc_flat.shape[0]
         frac = self.candidate_compaction
+        if frac:
+            # overflow-feedback escalation widens this budget too
+            # (fit() bumps RenderFlags.budget_boost on any ovf_* counter
+            # it covers; a persistent ovf_candidate_query self-corrects)
+            frac = min(1.0, float(frac) + 0.0625 * boost)
         out_shapes = jax.eval_shape(run, xc_flat)
         has_nr = len(out_shapes) > 1 and out_shapes[-1].ndim == 3
 
@@ -346,7 +351,7 @@ class FastSNARF:
 
     def deform(self, statics: DeformerStatics, frame: FrameState,
                pts: jax.Array, geometry_fn: Callable, with_jac: bool = False,
-               eval_mode: bool = True):
+               eval_mode: bool = True, boost: int = 0):
         """Canonicalize points, query geometry, min-SDF candidate reduce.
 
         ``geometry_fn(xc [M,3]) -> ((sdf, grad_cano, feat[, laplace]) | sdf,
@@ -410,7 +415,7 @@ class FastSNARF:
 
         xc_flat = jnp.stack([cx, cy, cz], axis=-1)
         ret, j_inv_nr = self._query_geometry_compact(
-            geometry_fn, xc_flat, valid_flat, with_jac)
+            geometry_fn, xc_flat, valid_flat, with_jac, boost=boost)
         sdf = jnp.where(valid_flat, ret[0], 1e5).reshape(N, K)
 
         idx = jnp.argmin(sdf, axis=-1)                           # [N]
@@ -482,7 +487,7 @@ class SNARFDeformer:
         return self.rigid.prepare(statics, smpl_params)
 
     def __call__(self, params, statics, frame, points, cond, geometry_fn,
-                 with_jac=False, eval_mode=False, global_step=0):
+                 with_jac=False, eval_mode=False, global_step=0, boost=0):
         def composed_geometry_fn(x):
             x_nr, j_inv_nr = self.non_rigid(
                 params["non_rigid"], x, cond=cond, with_jac=with_jac,
@@ -490,7 +495,8 @@ class SNARFDeformer:
             return geometry_fn(x_nr), j_inv_nr
 
         return self.rigid.deform(statics, frame, points, composed_geometry_fn,
-                                 with_jac=with_jac, eval_mode=eval_mode)
+                                 with_jac=with_jac, eval_mode=eval_mode,
+                                 boost=boost)
 
 
 @register("dummy_deformer")
@@ -512,7 +518,7 @@ class DummyDeformer:
         return None
 
     def __call__(self, params, statics, frame, points, cond, geometry_fn,
-                 with_jac=False, eval_mode=False, global_step=0):
+                 with_jac=False, eval_mode=False, global_step=0, boost=0):
         ret = geometry_fn(points)
         if not isinstance(ret, (tuple, list)):
             ret = (ret,)

@@ -278,9 +278,13 @@ class CapsuleImageDataset:
                     seed=int(config.get("hdri_seed", 11)))
             else:
                 import cv2
+                img = cv2.imread(hp,
+                                 cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+                if img is None:
+                    raise FileNotFoundError(
+                        f"hdri_filepath {hp!r} missing or unreadable")
                 self.hdri = cv2.cvtColor(
-                    cv2.imread(hp, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH),
-                    cv2.COLOR_BGR2RGB).astype(np.float32)
+                    img, cv2.COLOR_BGR2RGB).astype(np.float32)
 
         self.sampler = None
         if mode == "train":

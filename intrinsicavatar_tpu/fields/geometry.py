@@ -113,12 +113,16 @@ class VolumeSDF:
         """
         mode = self.config.get("grad_type", "analytic")
         if mode == "analytic_fwd":
+            # the encode's custom VJP rejects forward-mode autodiff —
+            # enter the raw-encode scope so jax derives the JVP itself
+            from intrinsicavatar_tpu.ops.hashgrid import raw_autodiff
             f = lambda p: self.sdf(params, p, level_mask)
             comps = []
-            for i in range(3):
-                tangent = jnp.zeros_like(x).at[:, i].set(1.0)
-                _, gi = jax.jvp(f, (x,), (tangent,))
-                comps.append(gi)
+            with raw_autodiff():
+                for i in range(3):
+                    tangent = jnp.zeros_like(x).at[:, i].set(1.0)
+                    _, gi = jax.jvp(f, (x,), (tangent,))
+                    comps.append(gi)
             return jnp.stack(comps, axis=-1)
         if mode == "analytic":
             # Fused custom-VJP composition (ops.encode_grad): one gather

@@ -119,6 +119,10 @@ def main(argv=None):
             (n_dev if n_dev > 1 else 0)
         if n_mesh and n_mesh > 1:
             from intrinsicavatar_tpu.parallel.sharding import make_mesh
+            if n_mesh > n_dev:
+                print(f"--mesh {n_mesh} > {n_dev} available devices; "
+                      f"using {n_dev}", flush=True)
+                n_mesh = n_dev
             system.use_mesh(make_mesh(jax.devices()[:n_mesh]))
             print(f"training ray-sharded over {n_mesh} devices", flush=True)
 
@@ -183,6 +187,11 @@ def main(argv=None):
                         ray_chunk=cfg.model.get("ray_chunk", 4096))
                     m = EV.frame_metrics(out, b_np,
                                          getattr(val_ds, "img_wh", None))
+                    # surface eval-render budget overflows ("no silent
+                    # caps" applies to validation renders too)
+                    for k, v in out.get("counters", {}).items():
+                        if k.startswith("ovf_") and v:
+                            m[k] = m.get(k, 0) + int(v)
                     for k, v in m.items():
                         agg.setdefault(k, []).append(v)
                     if getattr(val_ds, "img_wh", None):
@@ -253,6 +262,12 @@ def main(argv=None):
                                ray_chunk=cfg.model.get("ray_chunk", 4096),
                                occ=occ, frame=frm, cond=cnd,
                                albedo_align_ratio=ratio)
+            ovf = {k: int(v) for k, v in out.get("counters", {}).items()
+                   if k.startswith("ovf_") and v}
+            if ovf:
+                print(f"frame {i}: budget overflow {ovf} — raise the "
+                      "query_compaction fractions for exact renders",
+                      flush=True)
             if "rgb" in batch_np:
                 m = frame_metrics(out, batch_np, getattr(eval_ds, "img_wh",
                                                          None),

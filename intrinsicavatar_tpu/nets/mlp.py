@@ -142,12 +142,14 @@ class VanillaMLP:
         z = x
         pre = []
         for i in range(n - 1):
-            h = z @ ws[i] + params[i]["b"]
+            h = _matmul(z, ws[i]) + params[i]["b"]
             pre.append(h)
             z = act(h)
-        out = z @ ws[-1] + params[-1]["b"]
+        out = _matmul(z, ws[-1]) + params[-1]["b"]
 
-        # reverse pass for channel `out_channel`
+        # reverse pass for channel `out_channel` (matmuls honor the
+        # scoped compute dtype like the forward — the manual backprop is
+        # part of the *forward* shading computation at eval)
         g = jnp.broadcast_to(ws[-1][:, out_channel][None, :],
                              (x.shape[0], ws[-1].shape[0]))
         for i in range(n - 2, -1, -1):
@@ -155,7 +157,7 @@ class VanillaMLP:
                 dact = jax.nn.sigmoid(100.0 * pre[i])
             else:
                 dact = (pre[i] > 0).astype(x.dtype)
-            g = (g * dact) @ ws[i].T
+            g = _matmul(g * dact, ws[i].T)
         return self.output_activation(out), g
 
 

@@ -94,7 +94,13 @@ def _hashed_corner_idx(c0, r, T):
 
 def _gather_rows(table_l, spec, lvl, r, c0, T):
     """Corner feature rows ``[N, 8, F]`` for one level (one gather for
-    dense levels via the corner packing, 8 for hashed levels)."""
+    dense levels via the corner packing, 8 for hashed levels).
+
+    Honors the scoped compute dtype (`ops.precision`): inside a bf16
+    scope the table is cast before the gather (half the HBM row bytes);
+    downstream weight math promotes back to f32."""
+    from intrinsicavatar_tpu.ops import precision
+    table_l = precision.cast_in(table_l)
     F = table_l.shape[-1]
     if bool(spec.dense_levels[lvl]):
         packed = _pack_dense_level(table_l, r)

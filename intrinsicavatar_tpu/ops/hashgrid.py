@@ -16,6 +16,7 @@ Progressive level masking lives in ``ops.encoding.hashgrid_level_mask``.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 from typing import Sequence
@@ -145,7 +146,28 @@ def hashgrid_encode(
     if level_mask is None:
         level_mask = jnp.ones((spec.n_levels * spec.n_features_per_level,),
                               x.dtype)
+    if _RAW_AUTODIFF:
+        # forward-mode contexts (jax.jvp) cannot differentiate through a
+        # custom_vjp; inside raw_autodiff() the plain-jnp encode is used
+        # so JAX derives both JVPs and VJPs itself
+        return hashgrid_encode_raw(table, x, spec, level_mask)
     return _encode_cvjp(spec, table, x, level_mask)
+
+
+_RAW_AUTODIFF: list = []
+
+
+@contextlib.contextmanager
+def raw_autodiff():
+    """Trace-time scope: `hashgrid_encode` skips its custom VJP so
+    forward-mode autodiff (``jax.jvp``) works through it (custom_vjp
+    functions reject JVPs).  Used by the ``grad_type='analytic_fwd'``
+    SDF-gradient path (`fields/geometry.py`)."""
+    _RAW_AUTODIFF.append(True)
+    try:
+        yield
+    finally:
+        _RAW_AUTODIFF.pop()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

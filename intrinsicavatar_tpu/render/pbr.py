@@ -180,7 +180,9 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
     # within the first few occupied voxels; interior samples beyond the
     # crossing sit behind ~zero transmittance and only burn Broyden +
     # encode rows.  0 disables (exact full-march).
-    max_occ = int(model.config.get("secondary_max_valid_samples", 16))
+    # fallback default matches default_config's 8 — the pair (cap 8,
+    # secondary_query_compaction 0.125 = 8/64) is overflow-free by design
+    max_occ = int(model.config.get("secondary_max_valid_samples", 8))
     if max_occ > 0 and max_occ < S:
         smask = smask & (jnp.cumsum(smask.astype(jnp.int32), axis=1)
                          <= max_occ)
@@ -243,13 +245,17 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
                                       model, smask,
                                       fine=model.secondary_importance_sample,
                                       boost=flags.budget_boost))
-    pos_cano, sdf, _, sdf_grad, _, feat = out[:6]
-    normal_world = model.deformer.rigid.transform_dirs_s2w(frame, sdf_grad)
-    dirs_world = model.deformer.rigid.transform_dirs_s2w(
-        frame, jnp.repeat(rays_d, Sf, axis=0))
-    rgbs, _ = model.radiance(params["radiance"], pos_cano, feat, dirs_world,
-                             normal_world, level_mask=sched["rad_mask"],
-                             sh_mask=sched["sh_mask"])
+        pos_cano, sdf, _, sdf_grad, _, feat = out[:6]
+        normal_world = model.deformer.rigid.transform_dirs_s2w(frame,
+                                                               sdf_grad)
+        dirs_world = model.deformer.rigid.transform_dirs_s2w(
+            frame, jnp.repeat(rays_d, Sf, axis=0))
+        # the radiance field (hash encode + MLPs) is part of the secondary
+        # shading compute and shares the scope
+        rgbs, _ = model.radiance(params["radiance"], pos_cano, feat,
+                                 dirs_world, normal_world,
+                                 level_mask=sched["rad_mask"],
+                                 sh_mask=sched["sh_mask"])
     alphas = model.get_alpha(params, sdf, (t_ends - t_starts).reshape(-1),
                              step).reshape(-1, Sf)
     w, _ = V.render_weight_from_alpha(alphas, smask)

@@ -200,7 +200,7 @@ class IntrinsicAvatar:
             out = self.deformer(
                 params["deformer"], statics, frame, p, cond, geometry_fn,
                 with_jac=with_grad, eval_mode=eval_mode,
-                global_step=global_step)
+                global_step=global_step, boost=boost)
             return tuple(out)
 
         frac = self.config.get("query_compaction", 0.5)
@@ -430,8 +430,9 @@ class IntrinsicAvatar:
         # measured valid-sample fraction (EMA of shading_valid_samples /
         # shading_total_samples) and publishes a bucketed fraction in
         # 16ths through the static flags — tight occupancy grids then
-        # stop paying for empty-space sample slots
-        if flags.budget_frac_n16 > 0:
+        # stop paying for empty-space sample slots.  An explicit
+        # query_compaction: 0 (compaction disabled) always wins.
+        if flags.budget_frac_n16 > 0 and frac:
             frac = flags.budget_frac_n16 / 16.0
         use_compact = bool(frac) and Mfull >= 4096 \
             and not flags.full_budget

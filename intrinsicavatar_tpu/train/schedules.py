@@ -49,9 +49,12 @@ def C_static(value, step: int) -> float:
     return float(v0 + (v1 - v0) * t)
 
 
+DEFAULT_LR_MILESTONES = (12500, 18750, 22500, 23750)
+
+
 def lr_schedule(step, base_lr: float, warmup_steps: int = 1000,
                 warmup_start_factor: float = 0.01,
-                milestones=(12500, 18750, 22500, 23750), gamma: float = 0.3):
+                milestones=DEFAULT_LR_MILESTONES, gamma: float = 0.3):
     """Linear warmup then MultiStepLR decay (`configs/config.yaml:137-152`)."""
     step = jnp.asarray(step, jnp.float32)
     warm = warmup_start_factor + (1.0 - warmup_start_factor) * jnp.clip(
@@ -60,3 +63,17 @@ def lr_schedule(step, base_lr: float, warmup_steps: int = 1000,
     for m in milestones:
         decay = decay * jnp.where(step >= m, gamma, 1.0)
     return base_lr * warm * decay
+
+
+def lr_schedule_host(step: int, system_cfg) -> float:
+    """Host-side (numpy-free) twin of :func:`lr_schedule` for logging —
+    same formula and defaults, no device round-trip per log step."""
+    sch = system_cfg.get("scheduler", {})
+    sf = sch.get("warmup_start_factor", 0.01)
+    w = system_cfg.get("warmup_steps", 1000)
+    lr = system_cfg.get("optimizer", {}).get("args", {}).get("lr", 1e-3) \
+        * (sf + (1.0 - sf) * min(step / max(w, 1), 1.0))
+    for m in sch.get("milestones", DEFAULT_LR_MILESTONES):
+        if step >= m:
+            lr *= sch.get("gamma", 0.3)
+    return lr

@@ -626,6 +626,7 @@ class IntrinsicAvatarSystem:
                 pass
         tput = Throughput()
         history = []
+        ovf_acc: dict = {}
         if self.mesh is not None:
             state = self.replicate_state(state)
         for step in range(int(state.step), max_steps):
@@ -645,19 +646,30 @@ class IntrinsicAvatarSystem:
             flags = self.flags_for_step(step)
             state, losses = self.train_step(state, batch, t_idx, flags)
             tput.tick(int(batch["rays"].shape[0]))
+            # accumulate overflow counters on-device EVERY step (lazy adds,
+            # no host sync) so a burst between log points cannot hide from
+            # the escalator; read + reset at log cadence
+            for k, v in losses.items():
+                if k.startswith("ovf_"):
+                    ovf_acc[k] = ovf_acc[k] + v if k in ovf_acc else v
             if step % log_every == 0:
                 scalars = {k: float(v) for k, v in
                            jax.device_get(losses).items() if np.ndim(v) == 0}
+                ovf_window = {k: float(v) for k, v in
+                              jax.device_get(ovf_acc).items()}
+                ovf_acc = {}
                 scalars["rays_per_sec"] = tput.rays_per_sec
                 # overflow-feedback budget escalation: a nonzero ovf_*
                 # counter means a static query budget silently dropped
                 # lanes this step -> widen every budget by +1/16 (one
                 # recompile) rather than keep biasing renders/losses
-                # only the counters the boost actually widens (shading +
-                # field-query fractions; broyden/candidate caps have their
-                # own counters but fixed structure)
-                ovf = sum(scalars.get(k, 0.0)
-                          for k in ("ovf_shading", "ovf_query"))
+                # only the counters the boost actually widens (shading,
+                # field-query and candidate-query fractions; the broyden
+                # phase-2 / top-K caps have their own counters + config
+                # escape hatches)
+                ovf = sum(ovf_window.get(k, 0.0)
+                          for k in ("ovf_shading", "ovf_query",
+                                    "ovf_candidate_query"))
                 if ovf > 0 and self._budget_boost < self._budget_boost_max:
                     self._budget_boost += 1
                     scalars["budget_boost"] = float(self._budget_boost)
@@ -676,18 +688,11 @@ class IntrinsicAvatarSystem:
                     print(f"[{step}] adaptive shading budget -> "
                           f"{self._budget_frac_n16}/16 (recompile)",
                           flush=True)
-                # host-side mirror of train/schedules.lr_schedule (eager jnp
+                # host-side twin of train/schedules.lr_schedule (eager jnp
                 # over the TPU tunnel would round-trip per log step)
-                sch = self.config.system.get("scheduler", {})
-                sf = sch.get("warmup_start_factor", 0.01)
-                w = self.config.system.get("warmup_steps", 1000)
-                lr = self.config.system.get("optimizer", {}).get(
-                    "args", {}).get("lr", 1e-3) \
-                    * (sf + (1.0 - sf) * min(step / max(w, 1), 1.0))
-                for m in sch.get("milestones", (12500, 18750, 22500, 23750)):
-                    if step >= m:
-                        lr *= sch.get("gamma", 0.3)
-                scalars["lr"] = lr
+                from intrinsicavatar_tpu.train.schedules import (
+                    lr_schedule_host)
+                scalars["lr"] = lr_schedule_host(step, self.config.system)
                 if callback is not None:
                     callback(step, scalars)
                 if logger is not None:

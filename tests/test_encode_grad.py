@@ -135,6 +135,50 @@ def test_geometry_field_uses_fused_path():
     np.testing.assert_allclose(flat_f / scale, flat_e / scale, atol=2e-5)
 
 
+def test_analytic_fwd_grad_type_works_and_matches():
+    """grad_type='analytic_fwd' must survive the encode's custom VJP
+    (jax.jvp rejects custom_vjp functions -> the raw_autodiff scope) and
+    agree with the fused analytic path, including reverse-over-forward
+    for the eikonal-style training loss."""
+    from intrinsicavatar_tpu.fields.geometry import VolumeSDF
+    from intrinsicavatar_tpu.utils.config import wrap
+
+    base = {
+        "feature_dim": 13,
+        "xyz_encoding_config": {
+            "n_levels": 6, "log2_hashmap_size": 10, "base_resolution": 4,
+            "per_level_scale": 1.9, "include_xyz": True,
+        },
+        "mlp_network_config": {
+            "otype": "VanillaMLP", "n_neurons": 32, "n_hidden_layers": 1,
+            "sphere_init": True, "weight_norm": True,
+        },
+    }
+    geos = {}
+    for mode in ("analytic", "analytic_fwd"):
+        cfg = wrap({**base, "grad_type": mode})
+        geo = VolumeSDF(cfg)
+        geo.prepare_bbox(np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]]))
+        geos[mode] = geo
+    params = geos["analytic"].init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (65, 3)) * 0.4
+
+    out = {}
+    for mode, geo in geos.items():
+        def loss(params, geo=geo):
+            sdf, grad, feat = geo.sdf_grad_feature(params, x, jnp.ones(12))
+            return (jnp.sum((jnp.linalg.norm(grad, axis=-1) - 1.0) ** 2)
+                    + jnp.sum(sdf ** 2))
+        out[mode] = jax.value_and_grad(loss)(params)
+    v_a, g_a = out["analytic"]
+    v_f, g_f = out["analytic_fwd"]
+    np.testing.assert_allclose(float(v_f), float(v_a), rtol=1e-5)
+    fa, _ = jax.flatten_util.ravel_pytree(g_a)
+    ff, _ = jax.flatten_util.ravel_pytree(g_f)
+    np.testing.assert_allclose(np.asarray(ff), np.asarray(fa),
+                               rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.parametrize("include_xyz", [False, True])
 def test_encode_custom_vjp_matches_autodiff(include_xyz):
     """hashgrid_encode's custom VJP (sort-aggregated table grad + closed-
