@@ -143,6 +143,24 @@ def test_fit_publishes_adaptive_budget():
     assert sys_.flags_for_step(601).budget_frac_n16 == sys_._budget_frac_n16
 
 
+def test_candidate_budget_escalates_with_boost():
+    """ovf_candidate_query is boost-responsive: a tiny candidate budget
+    overflows at boost 0 and clears at a high boost (threaded through the
+    deformer facade into _query_geometry_compact)."""
+    cfg = tiny_config()
+    cfg.model.deformer.rigid_deformer.deformer_config \
+        .candidate_compaction = 0.02
+    sys_ = IntrinsicAvatarSystem(cfg)
+    state = sys_.setup(np.zeros(10), jax.random.PRNGKey(0))
+    batch = make_batch(R=256)
+    flags0 = sys_.flags_for_step(600)
+    _, l0 = sys_.train_step(state, batch, 0.0, flags0)
+    assert float(l0["ovf_candidate_query"]) > 0
+    _, lhi = sys_.train_step(state, batch, 0.0,
+                             flags0._replace(budget_boost=16))
+    assert float(lhi["ovf_candidate_query"]) == 0
+
+
 def test_no_overflow_in_nominal_config():
     cfg = tiny_config()
     sys_ = IntrinsicAvatarSystem(cfg)
