@@ -108,7 +108,7 @@ def bench_train(n_rays, bench_step, metric, grad_accum):
     emit(metric, n_rays * n_iters / dt, "rays/s")
 
 
-def bench_relight(ray_chunk=256, spp=1024):
+def bench_relight(ray_chunk=1024, spp=1024):
     """Eval-mode `light` render with a test HDRI (the relight protocol)."""
     import jax
     import jax.numpy as jnp
@@ -155,6 +155,10 @@ def main():
             bench_relight()
         except Exception:
             traceback.print_exc()
+            try:
+                bench_relight(ray_chunk=256)   # HBM fallback
+            except Exception:
+                traceback.print_exc()
     if only in (None, "phys"):
         try:
             bench_train(n_rays, 15000, "train_rays_per_sec_phys",

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--fine-bf16", action="store_true")
     ap.add_argument("--max-occ", type=int, default=None)
     ap.add_argument("--sec-samples", type=int, default=None)
+    ap.add_argument("--concentrate", type=int, default=None)
+    ap.add_argument("--adaptive", action="store_true")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
@@ -61,6 +63,10 @@ def main():
         extra["model"]["secondary_max_valid_samples"] = args.max_occ
     if args.sec_samples is not None:
         extra["model"]["num_samples_per_secondary_ray"] = args.sec_samples
+    if args.concentrate is not None:
+        extra["model"]["march_concentrate"] = args.concentrate
+    if args.adaptive:
+        extra["model"]["adaptive_query_compaction"] = True
 
     label = " ".join(sys.argv[1:])
 
