@@ -140,8 +140,29 @@ def bench_relight(ray_chunk=1024, spp=1024):
     emit("relight_spp_px_per_sec", ray_chunk * spp * n_iters / dt, "spp*px/s")
 
 
+def _probe_backend(timeout_s=240):
+    """Fail fast if the TPU backend cannot initialize (a SIGKILLed
+    client can wedge the axon tunnel for hours — backend init then hangs
+    minutes per process before erroring).  Probing in a subprocess keeps
+    this process clean and bounds the wait."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     _setup_jax()
+    if not _probe_backend():
+        print("bench: device backend failed to initialize (wedged TPU "
+              "tunnel?) — aborting instead of hanging per-regime",
+              file=sys.stderr, flush=True)
+        sys.exit(3)
     n_rays = 4096
     only = None
     for a in sys.argv[1:]:
