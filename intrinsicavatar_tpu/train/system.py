@@ -646,11 +646,12 @@ class IntrinsicAvatarSystem:
             flags = self.flags_for_step(step)
             state, losses = self.train_step(state, batch, t_idx, flags)
             tput.tick(int(batch["rays"].shape[0]))
-            # accumulate overflow counters on-device EVERY step (lazy adds,
-            # no host sync) so a burst between log points cannot hide from
-            # the escalator; read + reset at log cadence
+            # accumulate overflow + budget-telemetry counters on-device
+            # EVERY step (lazy adds, no host sync) so a burst between log
+            # points cannot hide from the escalator and the adaptive
+            # controller sees the whole window; read + reset at log cadence
             for k, v in losses.items():
-                if k.startswith("ovf_"):
+                if k.startswith("ovf_") or k.startswith("shading_"):
                     ovf_acc[k] = ovf_acc[k] + v if k in ovf_acc else v
             if step % log_every == 0:
                 scalars = {k: float(v) for k, v in
@@ -677,12 +678,13 @@ class IntrinsicAvatarSystem:
                           f"boost {self._budget_boost} (+"
                           f"{self._budget_boost * 6.25:.2f}% headroom, "
                           "recompile)", flush=True)
-                # occupancy-adaptive budget: feed the measured valid
-                # fraction (microbatch sums normalize in the ratio)
+                # occupancy-adaptive budget: feed the window-accumulated
+                # valid fraction (microbatch/step sums normalize in the
+                # ratio)
                 prev_n16 = self._budget_frac_n16
                 self._update_adaptive_budget(
-                    scalars.get("shading_valid_samples", 0.0),
-                    scalars.get("shading_total_samples", 0.0))
+                    ovf_window.get("shading_valid_samples", 0.0),
+                    ovf_window.get("shading_total_samples", 0.0))
                 if self._budget_frac_n16 != prev_n16:
                     scalars["budget_frac_n16"] = float(self._budget_frac_n16)
                     print(f"[{step}] adaptive shading budget -> "
