@@ -26,16 +26,23 @@ from intrinsicavatar_tpu.data.samplers import make_sampler
 
 
 def load_smpl_param(path):
-    p = dict(np.load(str(path)))
-    if "thetas" in p:
-        p["body_pose"] = p["thetas"][..., 3:]
-        p["global_orient"] = p["thetas"][..., :3]
-    return {
-        "betas": p["betas"].astype(np.float32).reshape(1, 10),
-        "body_pose": p["body_pose"].astype(np.float32),
-        "global_orient": p["global_orient"].astype(np.float32),
-        "transl": p["transl"].astype(np.float32),
-    }
+    """Read an .npz of SMPL parameters into the framework's batch keys.
+
+    Accepts either split axis-angle keys (``body_pose``/``global_orient``)
+    or the packed 72-dim ``thetas`` form some pose caches use (root
+    orientation in the first 3 components) — the semantics of the
+    reference's pose-cache reader (`datasets/peoplesnapshot.py:36-47`).
+    """
+    raw = np.load(str(path))
+    out = {"betas": np.reshape(raw["betas"], (1, 10)).astype(np.float32),
+           "transl": raw["transl"].astype(np.float32)}
+    if "thetas" in raw.files:
+        packed = raw["thetas"].astype(np.float32)
+        out["global_orient"], out["body_pose"] = np.split(packed, [3], -1)
+    else:
+        out["global_orient"] = raw["global_orient"].astype(np.float32)
+        out["body_pose"] = raw["body_pose"].astype(np.float32)
+    return out
 
 
 @register("peoplesnapshot")
