@@ -325,6 +325,27 @@ _COMPACT_DIV = 4
 _TWO_PHASE_MIN_M = 65536
 
 
+def _make_samplers(voxel_J_packed, shape_dhw, offset, scale_kernel):
+    """Closures shared by the full search and the seeded polish."""
+    ox, oy, oz = offset[0], offset[1], offset[2]
+    skx, sky, skz = scale_kernel[0], scale_kernel[1], scale_kernel[2]
+
+    def sample_J(x, y, z):
+        """Blended 3x4 transform at canonical (x,y,z): 12-tuple of [M]."""
+        return grid_sample_packed(
+            voxel_J_packed, shape_dhw, 12,
+            skx * (x - ox), sky * (y - oy), skz * (z - oz))
+
+    def in_bounds_of(x, y, z):
+        ncx = skx * (x - ox)
+        ncy = sky * (y - oy)
+        ncz = skz * (z - oz)
+        return ((ncx >= -1) & (ncx <= 1) & (ncy >= -1) & (ncy <= 1)
+                & (ncz >= -1) & (ncz <= 1))
+
+    return sample_J, in_bounds_of
+
+
 @partial(jax.jit, static_argnames=("max_iters", "shape_dhw", "two_phase",
                                    "compact_div"))
 def broyden_search(

@@ -616,6 +616,8 @@ class IntrinsicAvatarSystem:
         retained in the returned history (device buffers are not
         accumulated per step).
         """
+        import time
+
         from intrinsicavatar_tpu.utils.logging import Throughput
 
         if prefetch:
@@ -629,12 +631,25 @@ class IntrinsicAvatarSystem:
         ovf_acc: dict = {}
         if self.mesh is not None:
             state = self.replicate_state(state)
+        # wall-true throughput window: `tput` ticks after an *async*
+        # dispatch, which flatters the rate when host work (data decode,
+        # occ re-init, val, ckpt) runs between dispatches.  Track the
+        # window on the host clock, anchored at the log-cadence device
+        # sync, and attribute the non-step time by section.
+        wall_t0 = time.perf_counter()
+        wall_step0 = int(state.step)
+        wall_rays = 0
+        sect_t = {"data": 0.0, "occ": 0.0, "val": 0.0, "ckpt": 0.0}
         for step in range(int(state.step), max_steps):
+            _t = time.perf_counter()
             batch, t_idx = next(data_iter)
+            sect_t["data"] += time.perf_counter() - _t
             if self.mesh is not None:
                 batch = self.shard_batch(batch)
             if step in self.reinit_occ_steps and all_frames_fn is not None:
+                _t = time.perf_counter()
                 state = self.reinit_occupancy_grid(state, all_frames_fn())
+                sect_t["occ"] += time.perf_counter() - _t
             if step in self.reinit_optimizer_steps and step > 0:
                 state = self.reinit_optimizer(state)
             if (self.reinit_shape_every > 0 and step > 0
@@ -642,10 +657,13 @@ class IntrinsicAvatarSystem:
                 self.reinit_shape(state, jnp.zeros(10) if betas is None
                                   else betas)
             if step % self.occ_update_every == 0:
+                _t = time.perf_counter()
                 state = self.occ_update_step(state, batch, t_idx)
+                sect_t["occ"] += time.perf_counter() - _t
             flags = self.flags_for_step(step)
             state, losses = self.train_step(state, batch, t_idx, flags)
             tput.tick(int(batch["rays"].shape[0]))
+            wall_rays += int(batch["rays"].shape[0])
             # accumulate overflow + budget-telemetry counters on-device
             # EVERY step (lazy adds, no host sync) so a burst between log
             # points cannot hide from the escalator and the adaptive
@@ -654,12 +672,27 @@ class IntrinsicAvatarSystem:
                 if k.startswith("ovf_") or k.startswith("shading_"):
                     ovf_acc[k] = ovf_acc[k] + v if k in ovf_acc else v
             if step % log_every == 0:
+                # device_get blocks on this step's losses: the window
+                # below is therefore a true device-sync-to-device-sync
+                # wall interval including all host work in between
                 scalars = {k: float(v) for k, v in
                            jax.device_get(losses).items() if np.ndim(v) == 0}
                 ovf_window = {k: float(v) for k, v in
                               jax.device_get(ovf_acc).items()}
                 ovf_acc = {}
                 scalars["rays_per_sec"] = tput.rays_per_sec
+                now = time.perf_counter()
+                wall_dt = now - wall_t0
+                if step > wall_step0 and wall_dt > 0:
+                    scalars["steps_per_sec_wall"] = (step - wall_step0) \
+                        / wall_dt
+                    scalars["rays_per_sec_wall"] = wall_rays / wall_dt
+                    for k, v in sect_t.items():
+                        if v > 0:
+                            scalars[f"wall_{k}_s"] = v
+                scalars["wall_time"] = time.time()
+                wall_t0, wall_step0, wall_rays = now, step, 0
+                sect_t = {k: 0.0 for k in sect_t}
                 # overflow-feedback budget escalation: a nonzero ovf_*
                 # counter means a static query budget silently dropped
                 # lanes this step -> widen every budget by +1/16 (one
@@ -702,7 +735,9 @@ class IntrinsicAvatarSystem:
                 history.append((step, scalars))
             if val_fn is not None and val_every > 0 and step > 0 \
                     and step % val_every == 0:
+                _t = time.perf_counter()
                 metrics = val_fn(state, step)
+                sect_t["val"] += time.perf_counter() - _t
                 if logger is not None and metrics:
                     logger.log(step, {f"val/{k}": v
                                       for k, v in metrics.items()
@@ -712,5 +747,7 @@ class IntrinsicAvatarSystem:
             # never if the val dataset fails to build)
             if ckpt_fn is not None and ckpt_every > 0 and step > 0 \
                     and step % ckpt_every == 0:
+                _t = time.perf_counter()
                 ckpt_fn(state, step)
+                sect_t["ckpt"] += time.perf_counter() - _t
         return state, history
