@@ -373,21 +373,8 @@ def broyden_search(
     """
     M = xd.shape[0]
     tx, ty, tz = xd[:, 0], xd[:, 1], xd[:, 2]
-    ox, oy, oz = offset[0], offset[1], offset[2]
-    skx, sky, skz = scale_kernel[0], scale_kernel[1], scale_kernel[2]
-
-    def sample_J(x, y, z):
-        """Blended 3x4 transform at canonical (x,y,z): 12-tuple of [M]."""
-        return grid_sample_packed(
-            voxel_J_packed, shape_dhw, 12,
-            skx * (x - ox), sky * (y - oy), skz * (z - oz))
-
-    def in_bounds_of(x, y, z):
-        ncx = skx * (x - ox)
-        ncy = sky * (y - oy)
-        ncz = skz * (z - oz)
-        return ((ncx >= -1) & (ncx <= 1) & (ncy >= -1) & (ncy <= 1)
-                & (ncz >= -1) & (ncz <= 1))
+    sample_J, in_bounds_of = _make_samplers(voxel_J_packed, shape_dhw,
+                                            offset, scale_kernel)
 
     # init: x = R_bone^T (xd - t_bone); ONE [M]-row gather of the packed
     # [24, 12] bone transforms (12 separate takes cost 12x as much — TPU
@@ -470,6 +457,61 @@ def broyden_search(
         x=outs[0] * vf, y=outs[1] * vf, z=outs[2] * vf,
         j_inv=tuple(outs[3 + i] * vf for i in range(9)),
         valid=valid, overflow=n_overflow,
+    )
+
+
+@partial(jax.jit, static_argnames=("max_iters", "shape_dhw"))
+def broyden_polish(
+    xd: jax.Array,          # [M, 3] deformed targets
+    sx: jax.Array,          # [M] canonical seed coords
+    sy: jax.Array,
+    sz: jax.Array,
+    seed_ok: jax.Array,     # [M] bool — lanes with no usable seed stay invalid
+    voxel_J_packed: jax.Array,
+    offset: jax.Array,
+    scale_kernel: jax.Array,
+    shape_dhw=(32, 128, 128),
+    cvg_thresh: float = 1e-5,
+    dvg_thresh: float = 1e-1,
+    max_iters: int = 4,
+) -> BroydenResult:
+    """Warm-started Broyden: ONE lane per point, seeded at a known-nearby
+    canonical root instead of the 13 bone-anchored initializations.
+
+    Built for the secondary fine pass: fine samples sit within one march
+    step of a coarse sample on the same ray whose inverse-skinning root is
+    already converged, so a short polish from that root replaces the full
+    multi-init search the reference also pays per query
+    (`fast_snarf/deformer_torch.py:94-125`).  Same residual, convergence
+    and in-bounds semantics as :func:`broyden_search`; lanes that fail to
+    converge within ``max_iters`` come back invalid (callers fill
+    sdf=1e5, which only drops that sample's contribution).
+    """
+    M = xd.shape[0]
+    tx, ty, tz = xd[:, 0], xd[:, 1], xd[:, 2]
+    sample_J, in_bounds_of = _make_samplers(voxel_J_packed, shape_dhw,
+                                            offset, scale_kernel)
+    J0 = sample_J(sx, sy, sz)
+    Ji = [J0[0], J0[4], J0[8],
+          J0[1], J0[5], J0[9],
+          J0[2], J0[6], J0[10]]
+    g0 = J0[0] * sx + J0[1] * sy + J0[2] * sz + J0[3] - tx
+    g1 = J0[4] * sx + J0[5] * sy + J0[6] * sz + J0[7] - ty
+    g2 = J0[8] * sx + J0[9] * sy + J0[10] * sz + J0[11] - tz
+
+    zeros = jnp.zeros((M,), xd.dtype)
+    state = (sx, sy, sz, tx, ty, tz, g0, g1, g2, *Ji,
+             ~seed_ok, jnp.zeros(M, bool),                # done, valid
+             zeros, zeros, zeros,
+             *(zeros,) * 9)
+    body = _make_broyden_body(sample_J, in_bounds_of, cvg_thresh, dvg_thresh)
+    s = jax.lax.fori_loop(0, max_iters, body, state)
+    valid = s[19] & seed_ok
+    vf = valid.astype(xd.dtype)
+    return BroydenResult(
+        x=s[20] * vf, y=s[21] * vf, z=s[22] * vf,
+        j_inv=tuple(s[23 + i] * vf for i in range(9)),
+        valid=valid, overflow=jnp.zeros((), jnp.int32),
     )
 
 

@@ -42,7 +42,7 @@ from intrinsicavatar_tpu.anim.lbs_voxel import (
     VoxelSpec, make_voxel_spec, make_weight_voxel, precompute_transform_voxels,
 )
 from intrinsicavatar_tpu.anim.broyden import (
-    INIT_BONES, BroydenResult, broyden_search, corner_pack,
+    INIT_BONES, BroydenResult, broyden_polish, broyden_search, corner_pack,
     filter_duplicates_soa, forward_skinning_soa, grid_sample_packed,
 )
 
@@ -98,6 +98,9 @@ class FastSNARF:
         # search's gather rows by 13/K.  Set ``n_init: 13`` for exact
         # reference behavior.
         self.n_init = min(int(dcfg.get("n_init", 8)), len(INIT_BONES))
+        # polish iterations for seeded (warm-started) queries; the seed is
+        # within one march step of a converged root, so few steps suffice
+        self.seed_polish_iters = int(dcfg.get("seed_polish_iters", 4))
         # fraction of candidate lanes (N * max_candidates) given a geometry
         # query slot; the rest are invalid (duplicate-filtered) and receive
         # neutral fills without touching the field (0 disables)
@@ -294,7 +297,7 @@ class FastSNARF:
         return res
 
     def _query_geometry_compact(self, geometry_fn, xc_flat, valid_flat,
-                                with_jac, boost=0):
+                                with_jac, boost=0, frac=None):
         """Run the canonical field only on valid candidate lanes.
 
         After duplicate filtering most of the K candidate slots per point
@@ -315,7 +318,8 @@ class FastSNARF:
             return tuple(ret) + (() if j_inv_nr is None else (j_inv_nr,))
 
         M = xc_flat.shape[0]
-        frac = self.candidate_compaction
+        if frac is None:
+            frac = self.candidate_compaction
         if frac:
             # overflow-feedback escalation widens this budget too
             # (fit() bumps RenderFlags.budget_boost on any ovf_* counter
@@ -412,16 +416,31 @@ class FastSNARF:
             _, fwd_rot = forward_skinning_soa(cx, cy, cz, weights, frame.tfs)
 
         c2w = jinv if self.use_j_inv else fwd_rot                # 9 x [M]
+        return self._finish_query(N, K, cx, cy, cz, c2w, valid_flat,
+                                  geometry_fn, with_jac, boost)
 
+    def _finish_query(self, N, K, cx, cy, cz, c2w, valid_flat, geometry_fn,
+                      with_jac, boost, candidate_frac=None):
+        """Field query on candidate lanes + min-SDF reduce to per-point
+        outputs.  ``K == 1`` (the seeded polish path) skips the reduce and
+        passes ``candidate_frac=0``: its lanes were already compacted at
+        the ``_deform_query`` level and are mostly valid, so the
+        candidate-level budget (sized for ~1-valid-in-K search lanes)
+        would overflow rather than save."""
         xc_flat = jnp.stack([cx, cy, cz], axis=-1)
         ret, j_inv_nr = self._query_geometry_compact(
-            geometry_fn, xc_flat, valid_flat, with_jac, boost=boost)
+            geometry_fn, xc_flat, valid_flat, with_jac, boost=boost,
+            frac=candidate_frac)
         sdf = jnp.where(valid_flat, ret[0], 1e5).reshape(N, K)
 
-        idx = jnp.argmin(sdf, axis=-1)                           # [N]
-        sel = jnp.arange(N, dtype=jnp.int32) * K + idx           # flat [N]
-        g1 = lambda a: jnp.take(a, sel, axis=0)                  # [M] -> [N]
-        gather = lambda a: jnp.take(a.reshape(N * K, -1), sel, axis=0)
+        if K == 1:
+            g1 = lambda a: a
+            gather = lambda a: a.reshape(N, -1)
+        else:
+            idx = jnp.argmin(sdf, axis=-1)                       # [N]
+            sel = jnp.arange(N, dtype=jnp.int32) * K + idx       # flat [N]
+            g1 = lambda a: jnp.take(a, sel, axis=0)              # [M] -> [N]
+            gather = lambda a: jnp.take(a.reshape(N * K, -1), sel, axis=0)
 
         out = [jnp.stack([g1(cx), g1(cy), g1(cz)], axis=-1),
                jnp.min(sdf, axis=-1),
@@ -452,6 +471,51 @@ class FastSNARF:
             lap = jnp.where(valid_flat, ret[3], 0.0)
             out.append(g1(lap))
         return out
+
+
+    def deform_seeded(self, statics: DeformerStatics, frame: FrameState,
+                      pts: jax.Array, seed_xc: jax.Array, seed_ok: jax.Array,
+                      geometry_fn: Callable, with_jac: bool = False,
+                      boost: int = 0):
+        """Seeded canonicalization: warm-start the root search at a known
+        nearby canonical correspondence (eval-mode only).
+
+        One :func:`broyden_polish` lane per point replaces the
+        ``n_init``-way search + duplicate filter + top-K machinery — the
+        secondary fine pass's samples sit within one march step of a
+        coarse sample whose root is already converged, so the polish
+        reaches the same root in a few iterations (seeded == fresh-search
+        roots, tests/test_pbr.py::test_seeded_polish_matches_search).
+        Output layout matches :meth:`deform` with ``with_jac``/feature
+        sections driven by ``geometry_fn``'s return.
+        """
+        from intrinsicavatar_tpu.utils import diag
+        N = pts.shape[0]
+        res = broyden_polish(
+            jax.lax.stop_gradient(pts),
+            jax.lax.stop_gradient(seed_xc[:, 0]),
+            jax.lax.stop_gradient(seed_xc[:, 1]),
+            jax.lax.stop_gradient(seed_xc[:, 2]),
+            seed_ok,
+            jax.lax.stop_gradient(frame.voxel_J_packed),
+            jnp.asarray(self.spec.offset),
+            jnp.asarray(self.spec.scale_kernel),
+            shape_dhw=self.spec.shape_dhw,
+            cvg_thresh=self.cvg_thresh, dvg_thresh=self.dvg_thresh,
+            max_iters=self.seed_polish_iters,
+        )
+        # lanes whose polish failed despite a usable seed (no silent caps)
+        diag.record("sec_seed_polish_fail", jnp.sum(
+            (seed_ok & ~res.valid).astype(jnp.int32)))
+        cx, cy, cz = res.x, res.y, res.z
+        valid_flat = res.valid
+        weights = self.query_weights(statics,
+                                     jnp.stack([cx, cy, cz], axis=-1))
+        _, fwd_rot = forward_skinning_soa(cx, cy, cz, weights, frame.tfs)
+        c2w = res.j_inv if self.use_j_inv else fwd_rot
+        return self._finish_query(N, 1, cx, cy, cz, c2w, valid_flat,
+                                  geometry_fn, with_jac, boost,
+                                  candidate_frac=0.0)
 
 
 @register("snarf_deformer")
@@ -487,13 +551,18 @@ class SNARFDeformer:
         return self.rigid.prepare(statics, smpl_params)
 
     def __call__(self, params, statics, frame, points, cond, geometry_fn,
-                 with_jac=False, eval_mode=False, global_step=0, boost=0):
+                 with_jac=False, eval_mode=False, global_step=0, boost=0,
+                 seed=None):
         def composed_geometry_fn(x):
             x_nr, j_inv_nr = self.non_rigid(
                 params["non_rigid"], x, cond=cond, with_jac=with_jac,
                 global_step=global_step)
             return geometry_fn(x_nr), j_inv_nr
 
+        if seed is not None and eval_mode:
+            return self.rigid.deform_seeded(
+                statics, frame, points, seed[0], seed[1],
+                composed_geometry_fn, with_jac=with_jac, boost=boost)
         return self.rigid.deform(statics, frame, points, composed_geometry_fn,
                                  with_jac=with_jac, eval_mode=eval_mode,
                                  boost=boost)
@@ -518,7 +587,8 @@ class DummyDeformer:
         return None
 
     def __call__(self, params, statics, frame, points, cond, geometry_fn,
-                 with_jac=False, eval_mode=False, global_step=0, boost=0):
+                 with_jac=False, eval_mode=False, global_step=0, boost=0,
+                 seed=None):
         ret = geometry_fn(points)
         if not isinstance(ret, (tuple, list)):
             ret = (ret,)

@@ -214,6 +214,11 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
         sdf = jax.lax.stop_gradient(out[1]).reshape(t_starts.shape)
         alphas = model.get_alpha(params, sdf, t_ends - t_starts, step)
         alphas = jax.lax.stop_gradient(jnp.where(smask, alphas, 0.0))
+        # coarse correspondences kept for seeding the fine pass's root
+        # search (the coarse query points sit at t_starts)
+        t_coarse = t_starts
+        xc_coarse = jax.lax.stop_gradient(out[0]).reshape(*t_starts.shape, 3)
+        ok_coarse = out[2].reshape(t_starts.shape) & smask
         if model.zero_crossing_search:
             fine = RS.sdf_fine_resample_rays(t_starts, t_ends, alphas, sdf,
                                              smask, 4)
@@ -236,6 +241,22 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
     mids = 0.5 * (t_starts + t_ends)
     pos = (rays_o[:, None, :] + rays_d[:, None, :] * mids[..., None]
            ).reshape(-1, 3)
+    # seed each fine sample's inverse skinning with the converged root of
+    # the nearest valid coarse sample on the same ray: a short warm-started
+    # polish replaces the full n_init-way search (FastSNARF.deform_seeded).
+    # The reference re-runs its full search per fine query
+    # (`fast_snarf/deformer_torch.py:94-125`).
+    seed = None
+    if (model.secondary_importance_sample
+            and bool(model.config.get("secondary_seed_fine", True))):
+        d = jnp.abs(mids[:, :, None] - t_coarse[:, None, :])    # [M, Sf, S]
+        d = jnp.where(ok_coarse[:, None, :], d, jnp.inf)
+        j = jnp.argmin(d, axis=-1)                              # [M, Sf]
+        seed_xc = jnp.take_along_axis(
+            xc_coarse, j[..., None], axis=1).reshape(-1, 3)
+        seed_ok = (jnp.take_along_axis(ok_coarse, j, axis=1)
+                   & smask).reshape(-1)
+        seed = (seed_xc, seed_ok)
     with precision.scope(None if fd == "float32" else fd):
         out = model._deform_query(params, statics, frame, cond, pos, sched,
                                   with_grad=True, with_feature=True,
@@ -244,7 +265,8 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
                                   budget=_secondary_budget(
                                       model, smask,
                                       fine=model.secondary_importance_sample,
-                                      boost=flags.budget_boost))
+                                      boost=flags.budget_boost),
+                                  seed=seed)
         pos_cano, sdf, _, sdf_grad, _, feat = out[:6]
         normal_world = model.deformer.rigid.transform_dirs_s2w(frame,
                                                                sdf_grad)
@@ -342,7 +364,18 @@ def pbr_forward(model, params, statics, frame, cond, occ, sched,
             emitter_state = jax.lax.stop_gradient(
                 jax.tree.map(jax.lax.stop_gradient,
                              emitter.update_pdf(em_params)))
-        dirs_world = emitter.sample(emitter_state, k_dirs, R * B)
+        if not flags.training and not model.config.get("resample_light",
+                                                       True):
+            # ``resample_light: false`` — sample the emitter ONCE (a fixed
+            # key) and reuse the same spp directions for every pixel and
+            # frame: the reference's animation-generation mode
+            # (`models/intrinsic_avatar.py:287-305`; its config.yaml:56
+            # keeps true for quantitative relighting evaluation).
+            dirs_world = jnp.tile(
+                emitter.sample(emitter_state, jax.random.PRNGKey(0), B),
+                (R, 1))
+        else:
+            dirs_world = emitter.sample(emitter_state, k_dirs, R * B)
         dirs = model.deformer.rigid.transform_dirs_w2s(frame, dirs_world)
         cos_ok = jnp.sum(n_i * dirs, -1) > 1e-6
         active = fg & cos_ok

@@ -181,7 +181,7 @@ class IntrinsicAvatar:
     def _deform_query(self, params, statics, frame, cond, pts, sched,
                       with_grad, with_feature, with_laplace=False,
                       eval_mode=True, rng=None, global_step=0, mask=None,
-                      budget=None, mask2d=None, boost=0):
+                      budget=None, mask2d=None, boost=0, seed=None):
         """Canonicalize + query geometry; returns the deformer output list.
 
         When ``mask`` is given and query compaction is enabled, only a fixed
@@ -190,6 +190,10 @@ class IntrinsicAvatar:
         TPU-native replacement for the reference's ragged packed evaluation.
         ``mask2d`` (the ``[R, S]`` view of ``mask``) selects sample-major
         compaction so budget overflow drops far samples, not whole rays.
+        ``seed`` = ``(xc [M,3], ok [M])`` warm-starts the root search at a
+        known canonical correspondence (eval-mode only; see
+        ``FastSNARF.deform_seeded``) — seeds ride along as extra point
+        columns so compaction gathers them with their points.
         """
 
         def geometry_fn(xc):
@@ -197,12 +201,18 @@ class IntrinsicAvatar:
                                         with_feature, with_laplace, rng)
 
         def query(p):
+            s = None
+            if seed is not None:
+                p, s = p[:, :3], (p[:, 3:6], p[:, 6] > 0.5)
             out = self.deformer(
                 params["deformer"], statics, frame, p, cond, geometry_fn,
                 with_jac=with_grad, eval_mode=eval_mode,
-                global_step=global_step, boost=boost)
+                global_step=global_step, boost=boost, seed=s)
             return tuple(out)
 
+        if seed is not None:
+            pts = jnp.concatenate(
+                [pts, seed[0], seed[1].astype(pts.dtype)[:, None]], axis=-1)
         frac = self.config.get("query_compaction", 0.5)
         if mask is None or not frac:
             return list(query(pts))
@@ -470,107 +480,120 @@ class IntrinsicAvatar:
             # phase the warmup exists to protect
             qmask = None if flags.full_budget else smask.reshape(-1)
 
-        out = self._deform_query(
-            params, statics, frame, cond, pos_q, sched,
-            with_grad=True, with_feature=True, with_laplace=False,
-            eval_mode=not flags.training, rng=k_lap, global_step=step,
-            mask=qmask, boost=flags.budget_boost)
-        pos_cano, sdf, valid, sdf_grad, sdf_grad_cano, feat = out[:6]
+        # The primary shading pass runs under the scoped reduced-
+        # precision policy (``primary_dtype``, default bfloat16):
+        # hash-table gathers and MLP matmuls in bf16 with f32
+        # accumulation (preferred_element_type) — the TPU-native
+        # analog of the reference's fused-fp16 tcnn hot path
+        # (`models/network_utils.py:58-100`).  Alphas, volume
+        # rendering and losses stay f32 (the scope only changes
+        # gather/matmul compute dtypes).  Set ``primary_dtype:
+        # float32`` for the exact path; tiny-capsule val guard:
+        # tests/test_precision.py::test_primary_bf16_val_guard.
+        from intrinsicavatar_tpu.ops import precision
+        pd = str(self.config.get("primary_dtype", "bfloat16"))
+        with precision.scope(None if pd == "float32" else pd):
+            out = self._deform_query(
+                params, statics, frame, cond, pos_q, sched,
+                with_grad=True, with_feature=True, with_laplace=False,
+                eval_mode=not flags.training, rng=k_lap, global_step=step,
+                mask=qmask, boost=flags.budget_boost)
+            pos_cano, sdf, valid, sdf_grad, sdf_grad_cano, feat = out[:6]
 
-        # Curvature on a random SUBSET of the shading lanes: the tangent
-        # perturbation needs a second SDF-gradient evaluation whose backward
-        # scatters into the hash tables (the dominant TPU cost); the
-        # curvature loss only consumes the masked *mean*, so a uniform
-        # with-replacement subsample is an unbiased estimator.  The
-        # reference computes it on every sample (`models/rf/geometry.py:
-        # 173-205`); set ``curvature_subsample: 1.0`` for the exact path.
-        laplace = laplace_mask = None
-        if with_lap:
-            q_valid = valid & (spicked if use_compact
-                               else smask.reshape(-1))
-            frac_lap = float(self.config.get("curvature_subsample", 0.25))
-            nq = pos_cano.shape[0]
-            if frac_lap >= 1.0:
-                x_sub, grad_sub, laplace_mask = pos_cano, sdf_grad_cano, \
-                    q_valid
-            else:
-                nsub = min(max(int(np.ceil(nq * frac_lap / 128.0)) * 128,
-                               128), nq)
-                k_sub, k_lap = jax.random.split(k_lap)
-                sub = jax.random.randint(k_sub, (nsub,), 0, nq)
-                x_sub = jnp.take(pos_cano, sub, axis=0)
-                grad_sub = jnp.take(sdf_grad_cano, sub, axis=0)
-                laplace_mask = jnp.take(q_valid, sub, axis=0)
-            laplace = self.geometry._tangent_laplace(
-                params["geometry"], x_sub, grad_sub, sched["geo_mask"],
-                k_lap)
-
-        dirs_world = self.deformer.rigid.transform_dirs_s2w(frame, dirs_q)
-        normal_world_q = self.deformer.rigid.transform_dirs_s2w(
-            frame, sdf_grad)
-
-        rgbs, rgb_feat = self.radiance(
-            params["radiance"], pos_cano, feat, dirs_world, normal_world_q,
-            level_mask=sched["rad_mask"], sh_mask=sched["sh_mask"])
-
-        alphas = self.get_alpha(params, sdf, dists_q, step)
-
-        mats = mats_jitter = None
-        if flags.enable_phys:
-            if self.material_feature == "geometry":
-                mat_feat = feat
-            elif self.material_feature == "radiance":
-                mat_feat = rgb_feat
-            else:
-                mat_feat = jnp.concatenate([rgb_feat, feat], axis=-1)
-            mats = self.material(params["material"], mat_feat)
-            if not flags.training and albedo_align_ratio is not None:
-                # eval-time albedo alignment: the fitted per-channel ratio
-                # scales the material albedo so relighting uses aligned
-                # colors (`models/intrinsic_avatar.py:1114-1115`)
-                alb0, rest0 = split_channels(mats, [3, mats.shape[-1] - 3])
-                mats = jnp.concatenate(
-                    [alb0 * albedo_align_ratio[None, :], rest0], -1)
-            # Jittered material clone for the smoothness regularizers.  The
-            # clone needs its own geometry+radiance encodes whose backward
-            # scatters into BOTH hash tables; like the curvature proxy, the
-            # losses only consume means, so on the compact path a uniform
-            # with-replacement subsample is an unbiased estimator of the
-            # reference's per-sample accumulation (set
-            # ``smoothness_subsample: 1.0`` for the exact path).
-            frac_j = float(self.config.get("smoothness_subsample", 0.25))
-            jit_subsample = use_compact and frac_j < 1.0
-            jsub = mats_sub = mats_jitter_sub = None
-
-            def jitter_mats(pos_base):
-                pos_j = pos_base + jax.random.normal(
-                    k_jit, pos_base.shape) * 0.01
-                feat_j = self.geometry.features(
-                    params["geometry"], pos_j, sched["geo_mask"])
-                if self.material_feature == "geometry":
-                    mfj = feat_j
-                else:
-                    rgb_feat_j = self.radiance(
-                        params["radiance"], pos_j, feat_j, None,
-                        level_mask=sched["rad_mask"], feature_only=True)
-                    mfj = rgb_feat_j if self.material_feature == "radiance" \
-                        else jnp.concatenate([rgb_feat_j, feat_j], axis=-1)
-                return self.material(params["material"], mfj)
-
-            if flags.training and flags.jitter_materials and jit_subsample:
+            # Curvature on a random SUBSET of the shading lanes: the tangent
+            # perturbation needs a second SDF-gradient evaluation whose backward
+            # scatters into the hash tables (the dominant TPU cost); the
+            # curvature loss only consumes the masked *mean*, so a uniform
+            # with-replacement subsample is an unbiased estimator.  The
+            # reference computes it on every sample (`models/rf/geometry.py:
+            # 173-205`); set ``curvature_subsample: 1.0`` for the exact path.
+            laplace = laplace_mask = None
+            if with_lap:
+                q_valid = valid & (spicked if use_compact
+                                   else smask.reshape(-1))
+                frac_lap = float(self.config.get("curvature_subsample", 0.25))
                 nq = pos_cano.shape[0]
-                nsub = min(max(int(np.ceil(nq * frac_j / 128.0)) * 128,
-                               128), nq)
-                k_jsub, k_jit = jax.random.split(k_jit)
-                jsub = jax.random.randint(k_jsub, (nsub,), 0, nq)
-                mats_sub = jnp.take(mats, jsub, axis=0)
-                mats_jitter_sub = jitter_mats(jnp.take(pos_cano, jsub,
-                                                       axis=0))
-                mats_jitter = jnp.zeros_like(mats)
-            elif flags.training and flags.jitter_materials:
-                mats_jitter = jitter_mats(pos_cano)
-            else:
-                mats_jitter = jnp.zeros_like(mats)
+                if frac_lap >= 1.0:
+                    x_sub, grad_sub, laplace_mask = pos_cano, sdf_grad_cano, \
+                        q_valid
+                else:
+                    nsub = min(max(int(np.ceil(nq * frac_lap / 128.0)) * 128,
+                                   128), nq)
+                    k_sub, k_lap = jax.random.split(k_lap)
+                    sub = jax.random.randint(k_sub, (nsub,), 0, nq)
+                    x_sub = jnp.take(pos_cano, sub, axis=0)
+                    grad_sub = jnp.take(sdf_grad_cano, sub, axis=0)
+                    laplace_mask = jnp.take(q_valid, sub, axis=0)
+                laplace = self.geometry._tangent_laplace(
+                    params["geometry"], x_sub, grad_sub, sched["geo_mask"],
+                    k_lap)
+
+            dirs_world = self.deformer.rigid.transform_dirs_s2w(frame, dirs_q)
+            normal_world_q = self.deformer.rigid.transform_dirs_s2w(
+                frame, sdf_grad)
+
+            rgbs, rgb_feat = self.radiance(
+                params["radiance"], pos_cano, feat, dirs_world, normal_world_q,
+                level_mask=sched["rad_mask"], sh_mask=sched["sh_mask"])
+
+            alphas = self.get_alpha(params, sdf, dists_q, step)
+
+            mats = mats_jitter = None
+            if flags.enable_phys:
+                if self.material_feature == "geometry":
+                    mat_feat = feat
+                elif self.material_feature == "radiance":
+                    mat_feat = rgb_feat
+                else:
+                    mat_feat = jnp.concatenate([rgb_feat, feat], axis=-1)
+                mats = self.material(params["material"], mat_feat)
+                if not flags.training and albedo_align_ratio is not None:
+                    # eval-time albedo alignment: the fitted per-channel ratio
+                    # scales the material albedo so relighting uses aligned
+                    # colors (`models/intrinsic_avatar.py:1114-1115`)
+                    alb0, rest0 = split_channels(mats, [3, mats.shape[-1] - 3])
+                    mats = jnp.concatenate(
+                        [alb0 * albedo_align_ratio[None, :], rest0], -1)
+                # Jittered material clone for the smoothness regularizers.  The
+                # clone needs its own geometry+radiance encodes whose backward
+                # scatters into BOTH hash tables; like the curvature proxy, the
+                # losses only consume means, so on the compact path a uniform
+                # with-replacement subsample is an unbiased estimator of the
+                # reference's per-sample accumulation (set
+                # ``smoothness_subsample: 1.0`` for the exact path).
+                frac_j = float(self.config.get("smoothness_subsample", 0.25))
+                jit_subsample = use_compact and frac_j < 1.0
+                jsub = mats_sub = mats_jitter_sub = None
+
+                def jitter_mats(pos_base):
+                    pos_j = pos_base + jax.random.normal(
+                        k_jit, pos_base.shape) * 0.01
+                    feat_j = self.geometry.features(
+                        params["geometry"], pos_j, sched["geo_mask"])
+                    if self.material_feature == "geometry":
+                        mfj = feat_j
+                    else:
+                        rgb_feat_j = self.radiance(
+                            params["radiance"], pos_j, feat_j, None,
+                            level_mask=sched["rad_mask"], feature_only=True)
+                        mfj = rgb_feat_j if self.material_feature == "radiance" \
+                            else jnp.concatenate([rgb_feat_j, feat_j], axis=-1)
+                    return self.material(params["material"], mfj)
+
+                if flags.training and flags.jitter_materials and jit_subsample:
+                    nq = pos_cano.shape[0]
+                    nsub = min(max(int(np.ceil(nq * frac_j / 128.0)) * 128,
+                                   128), nq)
+                    k_jsub, k_jit = jax.random.split(k_jit)
+                    jsub = jax.random.randint(k_jsub, (nsub,), 0, nq)
+                    mats_sub = jnp.take(mats, jsub, axis=0)
+                    mats_jitter_sub = jitter_mats(jnp.take(pos_cano, jsub,
+                                                           axis=0))
+                    mats_jitter = jnp.zeros_like(mats)
+                elif flags.training and flags.jitter_materials:
+                    mats_jitter = jitter_mats(pos_cano)
+                else:
+                    mats_jitter = jnp.zeros_like(mats)
 
         if use_compact:
             # one packed row scatter returns every per-sample quantity to

@@ -44,6 +44,13 @@ def main():
     ap.add_argument("--sec-samples", type=int, default=None)
     ap.add_argument("--concentrate", type=int, default=None)
     ap.add_argument("--adaptive", action="store_true")
+    ap.add_argument("--no-seed", action="store_true",
+                    help="disable the seeded secondary fine-pass polish")
+    ap.add_argument("--seed-iters", type=int, default=None)
+    ap.add_argument("--primary-f32", action="store_true",
+                    help="primary shading pass in float32 (default bf16)")
+    ap.add_argument("--no-resample-light", action="store_true",
+                    help="sample-once light directions at eval")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
@@ -67,6 +74,15 @@ def main():
         extra["model"]["march_concentrate"] = args.concentrate
     if args.adaptive:
         extra["model"]["adaptive_query_compaction"] = True
+    if args.no_seed:
+        extra["model"]["secondary_seed_fine"] = False
+    if args.seed_iters is not None:
+        extra["model"]["deformer"] = {"rigid_deformer": {"deformer_config": {
+            "seed_polish_iters": args.seed_iters}}}
+    if args.primary_f32:
+        extra["model"]["primary_dtype"] = "float32"
+    if args.no_resample_light:
+        extra["model"]["resample_light"] = False
 
     label = " ".join(sys.argv[1:])
 

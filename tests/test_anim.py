@@ -327,3 +327,64 @@ def test_corner_packed_sampler_equivalence(rng):
         for c in range(C):
             np.testing.assert_allclose(np.asarray(out[c]),
                                        np.asarray(ref[c]), atol=1e-6)
+
+
+def test_seeded_polish_matches_search(body, rng):
+    """Warm-started polish (deform_seeded) finds the same roots as the
+    full n_init-way search for points one march step from their seeds —
+    the secondary fine pass's contract (render/pbr.py seeding)."""
+    d = make_rigid(body)
+    statics = d.initialize(np.zeros(10))
+    pose = np.zeros(69, np.float32)
+    pose[(18 - 1) * 3 + 1] = 0.8
+    pose[2], pose[5] = 0.3, -0.3
+    frame = d.prepare(statics, frame_params(pose))
+
+    center = jnp.asarray((d.bbox[0] + d.bbox[1]) / 2)
+
+    def geometry_fn(x):
+        sdf = jnp.linalg.norm(x - center, axis=-1) - 0.4
+        grad = (x - center) / jnp.maximum(
+            jnp.linalg.norm(x - center, axis=-1, keepdims=True), 1e-6)
+        eye = jnp.broadcast_to(jnp.eye(3), (*x.shape[:-1], 3, 3))
+        return (sdf, grad, x), eye
+
+    # "coarse" points: posed near-surface samples; their full-search roots
+    # become the seeds
+    N = 256
+    sel = rng.choice(frame.vertices.shape[0], N, replace=False)
+    pts0 = jnp.asarray(np.asarray(frame.vertices)[sel])
+    out0 = d.deform(statics, frame, pts0, geometry_fn, eval_mode=True)
+    xc0, ok0 = out0[0], out0[2]
+
+    # "fine" points: one secondary march step (~0.024) away
+    delta = rng.normal(size=(N, 3)).astype(np.float32)
+    delta /= np.linalg.norm(delta, axis=-1, keepdims=True)
+    pts1 = pts0 + jnp.asarray(0.02 * delta)
+
+    fresh = d.deform(statics, frame, pts1, geometry_fn, eval_mode=True)
+    seeded = d.deform_seeded(statics, frame, pts1, xc0, ok0, geometry_fn)
+
+    ok_f = np.asarray(fresh[2])
+    ok_s = np.asarray(seeded[2])
+    base = np.asarray(ok0)
+    # the polish may only run where a seed exists
+    assert not np.any(ok_s & ~base)
+    # where a seed exists, the polish converges nearly as often as the
+    # fresh search
+    both_possible = base & ok_f
+    assert (ok_s[both_possible].mean()) > 0.95
+    # and lands on the same root / same SDF
+    m = ok_s & ok_f
+    xc_f = np.asarray(fresh[0])[m]
+    xc_s = np.asarray(seeded[0])[m]
+    d_root = np.linalg.norm(xc_f - xc_s, axis=-1)
+    assert np.median(d_root) < 1e-4
+    assert (d_root < 1e-3).mean() > 0.95
+    np.testing.assert_allclose(np.asarray(seeded[1])[m],
+                               np.asarray(fresh[1])[m], atol=1e-3)
+    # gradient outputs agree too (same root branch, same rotation)
+    g_f = np.asarray(fresh[3])[m]
+    g_s = np.asarray(seeded[3])[m]
+    close = d_root < 1e-3
+    np.testing.assert_allclose(g_s[close], g_f[close], atol=1e-2)
