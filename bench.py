@@ -158,20 +158,40 @@ def bench_relight(ray_chunk=1024, spp=1024):
          "spp*px/s", chunk=ray_chunk, spp=spp)
 
 
-def _probe_backend(timeout_s=240):
+def _probe_backend(timeout_s=240, attempts=3, retry_wait_s=120):
     """Fail fast if the TPU backend cannot initialize (a SIGKILLed
     client can wedge the axon tunnel for hours — backend init then hangs
     minutes per process before erroring).  Probing in a subprocess keeps
-    this process clean and bounds the wait."""
+    this process clean and bounds the wait.
+
+    On timeout the probe child gets SIGTERM — never SIGKILL: a KILLed
+    client holding a half-claimed chip is exactly what wedges the
+    tunnel.  A transiently-down backend gets ``attempts`` chances spaced
+    ``retry_wait_s`` apart so the driver's single end-of-round run
+    survives a blip."""
+    import signal
     import subprocess
-    try:
-        r = subprocess.run(
+    for i in range(attempts):
+        p = subprocess.Popen(
             [sys.executable, "-c",
              "import jax; jax.devices(); print('ok')"],
-            capture_output=True, text=True, timeout=timeout_s)
-        return r.returncode == 0 and "ok" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        try:
+            out, _ = p.communicate(timeout=timeout_s)
+            if p.returncode == 0 and "ok" in out:
+                return True
+        except subprocess.TimeoutExpired:
+            p.send_signal(signal.SIGTERM)
+            try:
+                p.communicate(timeout=30)
+            except subprocess.TimeoutExpired:
+                pass  # let it unwind on its own rather than SIGKILL
+        if i + 1 < attempts:
+            print(f"bench: backend probe {i + 1}/{attempts} failed; "
+                  f"retrying in {retry_wait_s}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(retry_wait_s)
+    return False
 
 
 def main():

@@ -34,6 +34,7 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from __graft_entry__ import _make_batch  # noqa: E402
 from intrinsicavatar_tpu.train.system import IntrinsicAvatarSystem  # noqa: E402
 from intrinsicavatar_tpu.utils.default_config import default_config  # noqa: E402
