@@ -140,8 +140,17 @@ def bench_relight(ray_chunk=1024, spp=1024):
     occ, frame, cond = build_test_occ_grid(system, params, batch, 25000,
                                            jax.random.PRNGKey(2))
     jax.block_until_ready(occ.binaries)
+    # the per-frame correspondence bake is also once-per-frame setup
+    # (amortized over ~500 chunk renders of a 540p frame); its wall cost
+    # is measured separately and labeled in the emitted JSON
+    from intrinsicavatar_tpu.train.evaluate import build_seed_grid
+    t_bake = time.perf_counter()
+    seed_grid = build_seed_grid(system, params, frame, cond, 25000)
+    if seed_grid is not None:
+        jax.block_until_ready(seed_grid.packed)
+    bake_s = time.perf_counter() - t_bake
     kw = dict(ray_chunk=ray_chunk, occ=occ, frame=frame, cond=cond,
-              emitter_state=emitter_state)
+              emitter_state=emitter_state, seed_grid=seed_grid)
 
     # warm + compile
     out = render_frame(system, params, batch, 25000,
@@ -155,7 +164,8 @@ def bench_relight(ray_chunk=1024, spp=1024):
     _ = float(np.sum(out["comp_rgb_phys_full"]))
     dt = time.perf_counter() - t0
     emit("relight_spp_px_per_sec", ray_chunk * spp * n_iters / dt,
-         "spp*px/s", chunk=ray_chunk, spp=spp)
+         "spp*px/s", chunk=ray_chunk, spp=spp,
+         seed_grid=seed_grid is not None, bake_s=round(bake_s, 2))
 
 
 def _probe_backend(timeout_s=240, attempts=3, retry_wait_s=120):

@@ -476,7 +476,7 @@ class FastSNARF:
     def deform_seeded(self, statics: DeformerStatics, frame: FrameState,
                       pts: jax.Array, seed_xc: jax.Array, seed_ok: jax.Array,
                       geometry_fn: Callable, with_jac: bool = False,
-                      boost: int = 0):
+                      boost: int = 0, polish_iters: int | None = None):
         """Seeded canonicalization: warm-start the root search at a known
         nearby canonical correspondence (eval-mode only).
 
@@ -502,7 +502,8 @@ class FastSNARF:
             jnp.asarray(self.spec.scale_kernel),
             shape_dhw=self.spec.shape_dhw,
             cvg_thresh=self.cvg_thresh, dvg_thresh=self.dvg_thresh,
-            max_iters=self.seed_polish_iters,
+            max_iters=(self.seed_polish_iters if polish_iters is None
+                       else int(polish_iters)),
         )
         # lanes whose polish failed despite a usable seed (no silent caps)
         diag.record("sec_seed_polish_fail", jnp.sum(
@@ -552,7 +553,7 @@ class SNARFDeformer:
 
     def __call__(self, params, statics, frame, points, cond, geometry_fn,
                  with_jac=False, eval_mode=False, global_step=0, boost=0,
-                 seed=None):
+                 seed=None, seed_iters=None):
         def composed_geometry_fn(x):
             x_nr, j_inv_nr = self.non_rigid(
                 params["non_rigid"], x, cond=cond, with_jac=with_jac,
@@ -562,7 +563,8 @@ class SNARFDeformer:
         if seed is not None and eval_mode:
             return self.rigid.deform_seeded(
                 statics, frame, points, seed[0], seed[1],
-                composed_geometry_fn, with_jac=with_jac, boost=boost)
+                composed_geometry_fn, with_jac=with_jac, boost=boost,
+                polish_iters=seed_iters)
         return self.rigid.deform(statics, frame, points, composed_geometry_fn,
                                  with_jac=with_jac, eval_mode=eval_mode,
                                  boost=boost)
@@ -588,7 +590,7 @@ class DummyDeformer:
 
     def __call__(self, params, statics, frame, points, cond, geometry_fn,
                  with_jac=False, eval_mode=False, global_step=0, boost=0,
-                 seed=None):
+                 seed=None, seed_iters=None):
         ret = geometry_fn(points)
         if not isinstance(ret, (tuple, list)):
             ret = (ret,)

@@ -244,24 +244,26 @@ def main(argv=None):
             # (`systems/intrinsic_avatar.py:598-611`); the per-frame
             # deformed-space occupancy grid is built once and shared
             ratio = None
-            occ = frm = cnd = None
+            occ = frm = cnd = sgrid = None
             if (args.mode == "test" and flags.enable_phys
                     and "albedo" in batch_np):
                 from intrinsicavatar_tpu.train.evaluate import (
-                    build_test_occ_grid)
+                    build_seed_grid, build_test_occ_grid)
                 occ, frm, cnd = build_test_occ_grid(
                     system, state.params, batch, step,
                     jax.random.PRNGKey(2000 + i))
+                sgrid = build_seed_grid(system, state.params, frm, cnd,
+                                        step)
                 ratio = fit_albedo_ratio(
                     system, state.params, batch, step,
                     jax.random.PRNGKey(1000 + i), flags,
                     ray_chunk=cfg.model.get("ray_chunk", 4096),
-                    occ=occ, frame=frm, cond=cnd)
+                    occ=occ, frame=frm, cond=cnd, seed_grid=sgrid)
             out = render_frame(system, state.params, batch, step,
                                jax.random.PRNGKey(i), flags,
                                ray_chunk=cfg.model.get("ray_chunk", 4096),
                                occ=occ, frame=frm, cond=cnd,
-                               albedo_align_ratio=ratio)
+                               albedo_align_ratio=ratio, seed_grid=sgrid)
             ovf = {k: int(v) for k, v in out.get("counters", {}).items()
                    if k.startswith("ovf_") and v}
             if ovf:

@@ -88,7 +88,7 @@ def sample_volume_interaction(model, rays_o, rays_d, t_starts, t_ends, smask,
 
 def compute_indirect_radiance(model, params, statics, frame, cond, sched,
                               occ_binaries, occ_aabb, rays_o, rays_d, step,
-                              flags, active=None):
+                              flags, active=None, seed_grid=None):
     """Secondary-ray marcher (`models/intrinsic_avatar.py:396-545`).
 
     Large fan-outs (rays x spp) are processed in fixed-size chunks via
@@ -126,7 +126,8 @@ def compute_indirect_radiance(model, params, statics, frame, cond, sched,
             with diag.collect() as inner:
                 tr_c, rgb_c = _indirect_impl(
                     model, params, statics, frame, cond, sched,
-                    occ_binaries, occ_aabb, ro_c, rd_c, step, flags, act_c)
+                    occ_binaries, occ_aabb, ro_c, rd_c, step, flags, act_c,
+                    seed_grid=seed_grid)
             return tr_c, rgb_c, {k: jnp.asarray(v) for k, v in inner.items()}
 
         tr, rgb, inner_sums = jax.lax.map(body, (ro, rd, act))
@@ -135,7 +136,7 @@ def compute_indirect_radiance(model, params, statics, frame, cond, sched,
         return tr.reshape(-1)[:M], rgb.reshape(-1, 3)[:M]
     return _indirect_impl(model, params, statics, frame, cond, sched,
                           occ_binaries, occ_aabb, rays_o, rays_d, step,
-                          flags, active)
+                          flags, active, seed_grid=seed_grid)
 
 
 def _secondary_budget(model, smask, fine=False, boost=0):
@@ -162,7 +163,7 @@ def _secondary_budget(model, smask, fine=False, boost=0):
 
 def _indirect_impl(model, params, statics, frame, cond, sched,
                    occ_binaries, occ_aabb, rays_o, rays_d, step,
-                   flags, active=None):
+                   flags, active=None, seed_grid=None):
     M = rays_o.shape[0]
     S = model.num_samples_per_secondary_ray
     step_size = (model.secondary_far_plane - model.secondary_near_plane) \
@@ -203,6 +204,12 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
         cd = str(model.config.get("secondary_coarse_dtype", "bfloat16"))
         pos = (rays_o[:, None, :] + rays_d[:, None, :]
                * t_starts[..., None]).reshape(-1, 3)
+        # at eval a baked per-frame correspondence grid replaces the
+        # multi-init search with one gather + short polish per sample
+        # (anim/seedgrid.py) — the secondary coarse pass is the relight
+        # regime's dominant Broyden cost
+        grid_seed = model._grid_seed(seed_grid, pos)
+        s_iters = int(model.config.get("seed_grid_polish_iters", 6))
         with precision.scope(None if cd == "float32" else cd):
             out = model._deform_query(
                 params, statics, frame, cond, pos, sched,
@@ -210,7 +217,8 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
                 eval_mode=True, global_step=step,
                 mask=smask.reshape(-1), mask2d=smask,
                 budget=_secondary_budget(model, smask,
-                                         boost=flags.budget_boost))
+                                         boost=flags.budget_boost),
+                seed=grid_seed, seed_iters=s_iters)
         sdf = jax.lax.stop_gradient(out[1]).reshape(t_starts.shape)
         alphas = model.get_alpha(params, sdf, t_ends - t_starts, step)
         alphas = jax.lax.stop_gradient(jnp.where(smask, alphas, 0.0))
@@ -257,6 +265,13 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
         seed_ok = (jnp.take_along_axis(ok_coarse, j, axis=1)
                    & smask).reshape(-1)
         seed = (seed_xc, seed_ok)
+        fine_seed_iters = None   # nearest-coarse seeds: default short polish
+    elif seed_grid is not None:
+        # no coarse pass to seed from — use the baked per-frame grid
+        seed = model._grid_seed(seed_grid, pos)
+        fine_seed_iters = int(model.config.get("seed_grid_polish_iters", 6))
+    else:
+        fine_seed_iters = None
     with precision.scope(None if fd == "float32" else fd):
         out = model._deform_query(params, statics, frame, cond, pos, sched,
                                   with_grad=True, with_feature=True,
@@ -266,7 +281,7 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
                                       model, smask,
                                       fine=model.secondary_importance_sample,
                                       boost=flags.budget_boost),
-                                  seed=seed)
+                                  seed=seed, seed_iters=fine_seed_iters)
         pos_cano, sdf, _, sdf_grad, _, feat = out[:6]
         normal_world = model.deformer.rigid.transform_dirs_s2w(frame,
                                                                sdf_grad)
@@ -295,7 +310,7 @@ def _shuffled_strata(key, R, spp):
 def pbr_forward(model, params, statics, frame, cond, occ, sched,
                 rays_o, rays_d, t_starts, t_ends, smask, weights, trans,
                 sdf, mats, normals_smpl, rng, step, flags, background_color,
-                lvl, emitter_state=None):
+                lvl, emitter_state=None, seed_grid=None):
     """Assemble comp_rgb_phys / comp_demod_phys (+ visibility) maps."""
     R, S = t_starts.shape
     spp = model.samples_per_pixel
@@ -327,7 +342,7 @@ def pbr_forward(model, params, statics, frame, cond, occ, sched,
         tr, rgb = compute_indirect_radiance(
             model, params, statics, frame, cond, sched,
             occ.binaries[lvl], occ.aabbs[lvl], pos_i, dirs, step, flags,
-            active=active)
+            active=active, seed_grid=seed_grid)
         return (jax.lax.stop_gradient(jnp.clip(tr, 0.0, 1.0))[:, None],
                 jax.lax.stop_gradient(rgb))
 

@@ -181,7 +181,8 @@ class IntrinsicAvatar:
     def _deform_query(self, params, statics, frame, cond, pts, sched,
                       with_grad, with_feature, with_laplace=False,
                       eval_mode=True, rng=None, global_step=0, mask=None,
-                      budget=None, mask2d=None, boost=0, seed=None):
+                      budget=None, mask2d=None, boost=0, seed=None,
+                      seed_iters=None):
         """Canonicalize + query geometry; returns the deformer output list.
 
         When ``mask`` is given and query compaction is enabled, only a fixed
@@ -207,7 +208,8 @@ class IntrinsicAvatar:
             out = self.deformer(
                 params["deformer"], statics, frame, p, cond, geometry_fn,
                 with_jac=with_grad, eval_mode=eval_mode,
-                global_step=global_step, boost=boost, seed=s)
+                global_step=global_step, boost=boost, seed=s,
+                seed_iters=seed_iters)
             return tuple(out)
 
         if seed is not None:
@@ -261,7 +263,7 @@ class IntrinsicAvatar:
     def _coarse_sdf_at_edges(self, params, statics, frame, cond, sched,
                              rays_o, rays_d, iv: RayIntervals, step,
                              prev_sdf=None, is_new=None, full_budget=False,
-                             boost=0):
+                             boost=0, seed_grid=None):
         """SDF at (new) edge values; invalid slots get 1e10
         (`models/intrinsic_avatar.py:955-998` coarse_alpha_fn)."""
         R, E = iv.vals.shape
@@ -276,7 +278,10 @@ class IntrinsicAvatar:
                                  with_grad=False, with_feature=False,
                                  eval_mode=True, global_step=step,
                                  mask=qmask.reshape(-1), budget=nb,
-                                 mask2d=qmask, boost=boost)
+                                 mask2d=qmask, boost=boost,
+                                 seed=self._grid_seed(seed_grid, pos),
+                                 seed_iters=int(self.config.get(
+                                     "seed_grid_polish_iters", 6)))
         sdf_new = jax.lax.stop_gradient(out[1]).reshape(R, E)
         if prev_sdf is not None:
             sdf = jnp.where(is_new, sdf_new, prev_sdf)
@@ -296,7 +301,7 @@ class IntrinsicAvatar:
 
     def _importance_resample(self, params, statics, frame, cond, sched,
                              rays_o, rays_d, iv: RayIntervals, step,
-                             full_budget=False, boost=0):
+                             full_budget=False, boost=0, seed_grid=None):
         """Merge-resampling rounds (`models/intrinsic_avatar.py:1184-1238`).
 
         Per-edge SDF values are cached across rounds through the merge's
@@ -309,7 +314,8 @@ class IntrinsicAvatar:
         # round 0: SDF at all (valid) initial edges
         sdf = self._coarse_sdf_at_edges(params, statics, frame, cond, sched,
                                         rays_o, rays_d, iv, step,
-                                        full_budget=full_budget, boost=boost)
+                                        full_budget=full_budget, boost=boost,
+                                        seed_grid=seed_grid)
         for r in range(self.n_importance_rounds):
             alphas, _ = self._edge_alphas_min_sdf(params, iv, sdf, step)
             alphas = jax.lax.stop_gradient(alphas)
@@ -328,14 +334,15 @@ class IntrinsicAvatar:
                 axis=1)
             sdf = self._coarse_sdf_at_edges(
                 params, statics, frame, cond, sched, rays_o, rays_d, iv,
-                step, prev_sdf=carried, is_new=merged.is_new, boost=boost)
+                step, prev_sdf=carried, is_new=merged.is_new, boost=boost,
+                seed_grid=seed_grid)
         return iv
 
     # ------------------------------------------------------------ forward
 
     def sample_intervals(self, params, statics, frame, cond,
                          occ: OccGridState, rays_world, rng, step,
-                         flags: RenderFlags, t_idx=0.0):
+                         flags: RenderFlags, t_idx=0.0, seed_grid=None):
         """Stages 1-3: ray transform, occupancy marching, importance rounds.
 
         Entirely gradient-free (the reference wraps the importance loop in
@@ -364,15 +371,49 @@ class IntrinsicAvatar:
             iv = self._importance_resample(params, statics, frame, cond,
                                            sched, rays_o, rays_d, iv, step,
                                            full_budget=flags.full_budget,
-                                           boost=flags.budget_boost)
+                                           boost=flags.budget_boost,
+                                           seed_grid=seed_grid)
         t_starts, t_ends, smask = intervals_to_samples(iv)
         return (jax.lax.stop_gradient(t_starts),
                 jax.lax.stop_gradient(t_ends), smask)
 
+    def bake_seed_grid(self, params, statics, frame, cond, step,
+                       resolution=None, chunk=65536):
+        """Per-frame eval-only correspondence bake (``anim/seedgrid.py``).
+
+        One chunked pass of the ordinary searched canonicalization over a
+        lattice spanning the deformed bbox — the same cost shape as the
+        per-frame test occupancy build.  Returns a :class:`SeedGrid` to
+        pass into :meth:`forward`'s ``seed_grid``; eval queries then
+        warm-start from it instead of running the multi-init search.
+        """
+        from intrinsicavatar_tpu.anim.seedgrid import bake_seed_grid
+        if resolution is None:
+            resolution = int(self.config.get("seed_grid_resolution", 96))
+        sched = self._schedules(step)
+        aabb = self.deformer.rigid.get_bbox_deformed(frame)
+
+        def deform_fn(p):
+            out = self._deform_query(params, statics, frame, cond, p, sched,
+                                     with_grad=False, with_feature=False,
+                                     eval_mode=True, global_step=step)
+            return out[0], out[2]
+
+        return bake_seed_grid(deform_fn, aabb, resolution, chunk)
+
+    def _grid_seed(self, seed_grid, pts):
+        """(seed_xc, seed_ok) for ``pts`` from the baked grid, or None."""
+        if seed_grid is None:
+            return None
+        from intrinsicavatar_tpu.anim.seedgrid import seed_from_grid
+        return seed_from_grid(
+            seed_grid, pts,
+            coh_factor=float(self.config.get("seed_grid_coh_factor", 3.0)))
+
     def forward(self, params, statics, frame, cond, occ: OccGridState,
                 rays_world, rng, step, flags: RenderFlags,
                 t_idx=0.0, background_color=None, emitter_state=None,
-                intervals=None, albedo_align_ratio=None):
+                intervals=None, albedo_align_ratio=None, seed_grid=None):
         """Render a batch of rays.  Returns the output dict of Appendix B
         (`models/intrinsic_avatar.py:1492-1666`): ``comp_rgb, comp_normal,
         opacity, depth, rays_valid, ...`` plus ``*_bg`` / ``*_full`` and
@@ -391,7 +432,7 @@ class IntrinsicAvatar:
             out_dict = self._forward_body(
                 params, statics, frame, cond, occ, rays_world, rng, step,
                 flags, t_idx, background_color, emitter_state, intervals,
-                albedo_align_ratio)
+                albedo_align_ratio, seed_grid)
         out_dict["counters"] = {k: jnp.asarray(v, jnp.int32)
                                 for k, v in counters.items()}
         return out_dict
@@ -399,7 +440,8 @@ class IntrinsicAvatar:
     def _forward_body(self, params, statics, frame, cond, occ: OccGridState,
                       rays_world, rng, step, flags: RenderFlags,
                       t_idx=0.0, background_color=None, emitter_state=None,
-                      intervals=None, albedo_align_ratio=None):
+                      intervals=None, albedo_align_ratio=None,
+                      seed_grid=None):
         from intrinsicavatar_tpu.utils import diag
         sched = self._schedules(step)
         rays = self.deformer.rigid.transform_rays_w2s(frame, rays_world) \
@@ -416,7 +458,8 @@ class IntrinsicAvatar:
         if intervals is None:
             intervals = self.sample_intervals(
                 params, statics, frame, cond, occ, rays_world, k_strat,
-                step, flags, t_idx)
+                step, flags, t_idx,
+                seed_grid=None if flags.training else seed_grid)
         t_starts, t_ends, smask = intervals
         S = t_starts.shape[1]
         mids = 0.5 * (t_starts + t_ends)
@@ -492,12 +535,17 @@ class IntrinsicAvatar:
         # tests/test_precision.py::test_primary_bf16_val_guard.
         from intrinsicavatar_tpu.ops import precision
         pd = str(self.config.get("primary_dtype", "bfloat16"))
+        # eval-only: warm-start the shading pass's inverse skinning from
+        # the per-frame baked correspondence grid (anim/seedgrid.py)
+        grid_seed = None if flags.training \
+            else self._grid_seed(seed_grid, pos_q)
         with precision.scope(None if pd == "float32" else pd):
             out = self._deform_query(
                 params, statics, frame, cond, pos_q, sched,
                 with_grad=True, with_feature=True, with_laplace=False,
                 eval_mode=not flags.training, rng=k_lap, global_step=step,
-                mask=qmask, boost=flags.budget_boost)
+                mask=qmask, boost=flags.budget_boost, seed=grid_seed,
+                seed_iters=int(self.config.get("seed_grid_polish_iters", 6)))
             pos_cano, sdf, valid, sdf_grad, sdf_grad_cano, feat = out[:6]
 
             # Curvature on a random SUBSET of the shading lanes: the tangent
@@ -672,7 +720,8 @@ class IntrinsicAvatar:
                     rays_o, rays_d, t_starts, t_ends, smask, weights, trans,
                     sdf.reshape(R, S), mats, normal_smpl.reshape(R, S, 3),
                     k_pbr, step, flags, background_color, lvl,
-                    emitter_state=emitter_state)
+                    emitter_state=emitter_state,
+                    seed_grid=None if flags.training else seed_grid)
                 out_dict.update(pbr_out)
 
         if flags.training:

@@ -66,9 +66,35 @@ def build_test_occ_grid(system, params, batch, step, key, resolution=64):
     return occ, frame, cond
 
 
+def build_seed_grid(system, params, frame, cond, step):
+    """Per-frame baked correspondence grid for eval-time warm-started
+    skinning (``anim/seedgrid.py``); None when disabled or inapplicable.
+
+    jitted once per (system, resolution) like the test occ grid — the
+    bake is one chunked pass of the ordinary search over a lattice.
+    """
+    model = system.model
+    if not bool(model.config.get("eval_seed_grid", True)) \
+            or not hasattr(model.deformer, "rigid"):
+        return None
+    resolution = int(model.config.get("seed_grid_resolution", 96))
+    cache = getattr(system, "_seed_grid_jit", None)
+    if cache is None:
+        cache = system._seed_grid_jit = {}
+    fn = cache.get(resolution)
+    if fn is None:
+        def _bake(params, statics, frame, cond, step):
+            return model.bake_seed_grid(params, statics, frame, cond, step,
+                                        resolution=resolution)
+
+        fn = cache[resolution] = jax.jit(_bake)
+    return fn(params, system.statics, frame, cond,
+              jnp.asarray(step, jnp.int32))
+
+
 def fit_albedo_ratio(system, params, batch, step, key,
                      flags: RenderFlags, ray_chunk: int = 4096,
-                     occ=None, frame=None, cond=None):
+                     occ=None, frame=None, cond=None, seed_grid=None):
     """Albedo-only pre-pass -> per-channel alignment ratio.
 
     Mirrors the reference's relighting protocol: a cheap forward with the
@@ -79,7 +105,8 @@ def fit_albedo_ratio(system, params, batch, step, key,
     """
     pre = render_frame(system, params, batch, step, key,
                        flags._replace(albedo_only=True),
-                       ray_chunk=ray_chunk, occ=occ, frame=frame, cond=cond)
+                       ray_chunk=ray_chunk, occ=occ, frame=frame, cond=cond,
+                       seed_grid=seed_grid)
     gt = np.asarray(batch["albedo"]).reshape(-1, 3)
     m = np.asarray(batch["alpha"]).reshape(-1) > 0.5
     if "valid_mask" in batch:
@@ -92,7 +119,8 @@ def fit_albedo_ratio(system, params, batch, step, key,
 
 def render_frame(system, params, batch, step, key, flags: RenderFlags,
                  ray_chunk: int = 4096, occ=None, frame=None, cond=None,
-                 emitter_state=None, albedo_align_ratio=None):
+                 emitter_state=None, albedo_align_ratio=None,
+                 seed_grid=None):
     """Chunked full-frame render; returns stitched output maps (numpy).
 
     When the batch carries a test HDRI, the emitter base is replaced and its
@@ -114,6 +142,8 @@ def render_frame(system, params, batch, step, key, flags: RenderFlags,
         key, k_occ = jax.random.split(key)
         occ, frame, cond = build_test_occ_grid(system, params, batch, step,
                                                k_occ)
+    if seed_grid is None:
+        seed_grid = build_seed_grid(system, params, frame, cond, step)
     rays = batch["rays"]
     R = rays.shape[0]
     bg = jnp.ones(3)
@@ -131,18 +161,19 @@ def render_frame(system, params, batch, step, key, flags: RenderFlags,
 
         @functools.partial(jax.jit, static_argnames=("flags",))
         def rc(params, statics, frame, cond, occ, chunk, k, step, bg,
-               emitter_state, ratio, flags):
+               emitter_state, ratio, seed_grid, flags):
             return system.model.forward(
                 params, statics, frame, cond, occ, chunk, k, step,
                 flags, t_idx=0.0, background_color=bg,
-                emitter_state=emitter_state, albedo_align_ratio=ratio)
+                emitter_state=emitter_state, albedo_align_ratio=ratio,
+                seed_grid=seed_grid)
 
         system._render_chunk_jit = rc
 
     def render_chunk(chunk, k):
         return rc(params, system.statics, frame, cond, occ, chunk, k,
                   jnp.asarray(step, jnp.int32), bg, emitter_state,
-                  albedo_align_ratio, flags)
+                  albedo_align_ratio, seed_grid, flags)
 
     keep = ("comp_rgb_full", "comp_normal", "opacity", "depth",
             "comp_rgb_phys_full", "comp_demod_phys_full", "comp_albedo_full",

@@ -64,6 +64,17 @@ def default_config(dataset_length: int = 100) -> ConfigNode:
             # sampling (ops/grid_traversal.py occupancy_sampling)
             "march_concentrate": 0,
             "secondary_max_valid_samples": 8,
+            # eval-only: bake the fixed per-frame inverse-skinning field
+            # on a lattice once, then warm-start every eval query from a
+            # trilinear seed + short Broyden polish instead of the
+            # multi-init search (anim/seedgrid.py).  The reference pays
+            # the full search per query (`fast_snarf/deformer_torch.py:
+            # 94-125`); at 540p/1024spp that is O(5e8) searches vs an
+            # O(9e5)-point bake.  Training is unaffected.
+            "eval_seed_grid": True,
+            "seed_grid_resolution": 96,
+            "seed_grid_polish_iters": 6,
+            "seed_grid_coh_factor": 3.0,
             "zero_crossing_search": True,
             "resample_light": True,
             "volume_scattering": True,

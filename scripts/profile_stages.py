@@ -51,6 +51,10 @@ def main():
                     help="primary shading pass in float32 (default bf16)")
     ap.add_argument("--no-resample-light", action="store_true",
                     help="sample-once light directions at eval")
+    ap.add_argument("--no-seed-grid", action="store_true",
+                    help="disable the per-frame baked correspondence grid "
+                         "(eval regimes fall back to the full search)")
+    ap.add_argument("--seed-grid-res", type=int, default=None)
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
@@ -83,6 +87,10 @@ def main():
         extra["model"]["primary_dtype"] = "float32"
     if args.no_resample_light:
         extra["model"]["resample_light"] = False
+    if args.no_seed_grid:
+        extra["model"]["eval_seed_grid"] = False
+    if args.seed_grid_res is not None:
+        extra["model"]["seed_grid_resolution"] = args.seed_grid_res
 
     label = " ".join(sys.argv[1:])
 
