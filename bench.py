@@ -168,7 +168,7 @@ def bench_relight(ray_chunk=1024, spp=1024):
          seed_grid=seed_grid is not None, bake_s=round(bake_s, 2))
 
 
-def _probe_backend(timeout_s=240, attempts=3, retry_wait_s=120):
+def _probe_backend(timeout_s=300, attempts=5, retry_wait_s=180):
     """Fail fast if the TPU backend cannot initialize (a SIGKILLed
     client can wedge the axon tunnel for hours — backend init then hangs
     minutes per process before erroring).  Probing in a subprocess keeps
