@@ -56,6 +56,10 @@ def main():
                          "(eval regimes fall back to the full search)")
     ap.add_argument("--seed-grid-res", type=int, default=None)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="generic dotted model-config override, e.g. "
+                         "--set seed_grid_polish_iters=3 (keys are relative "
+                         "to model.*; values parsed as JSON when possible)")
     args = ap.parse_args()
 
     jax = _setup_jax()
@@ -91,6 +95,17 @@ def main():
         extra["model"]["eval_seed_grid"] = False
     if args.seed_grid_res is not None:
         extra["model"]["seed_grid_resolution"] = args.seed_grid_res
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        try:
+            v = json.loads(v)
+        except ValueError:
+            pass
+        node = extra["model"]
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
 
     label = " ".join(sys.argv[1:])
 
