@@ -38,14 +38,21 @@ from intrinsicavatar_tpu.anim.broyden import _corner_setup, corner_pack
 class SeedGrid(NamedTuple):
     """Corner-packed correspondence lattice over the deformed-space bbox.
 
-    ``packed[cell, corner*4 + c]`` holds ``(x_c*ok, y_c*ok, z_c*ok, ok)``
-    at the 8 cell corners ("border" packing: cells == D*H*W and base
-    cells are always in-grid).  ``center``/``half`` map SMPL-space points
-    into the lattice's [-1,1]^3 frame per axis.  Resolution is static,
-    recovered from ``packed.shape[0]`` (cubic lattice).
+    ``packed[cell, corner*C + c]`` holds ``(x_c*ok, y_c*ok, z_c*ok, ok)``
+    — and, when baked with an SDF channel (C == 5), ``sdf*ok`` — at the 8
+    cell corners ("border" packing: cells == D*H*W and base cells are
+    always in-grid).  ``center``/``half`` map SMPL-space points into the
+    lattice's [-1,1]^3 frame per axis.  Resolution is static, recovered
+    from ``packed.shape[0]`` (cubic lattice).
+
+    The SDF channel lets eval-time *placement* passes (secondary coarse
+    march, importance rounds) read sdf from one row gather instead of a
+    seeded Broyden polish + hash encode + MLP per query — those passes
+    only position fine samples; every shading/visibility weight is still
+    computed from exact re-queries at the placed samples.
     """
 
-    packed: jax.Array     # [res^3, 32]
+    packed: jax.Array     # [res^3, 8*C], C in (4, 5)
     center: jax.Array     # [3]
     half: jax.Array       # [3]
 
@@ -53,14 +60,24 @@ class SeedGrid(NamedTuple):
     def resolution(self) -> int:
         return round(self.packed.shape[0] ** (1.0 / 3.0))
 
+    @property
+    def channels(self) -> int:
+        return self.packed.shape[1] // 8
+
+    @property
+    def has_sdf(self) -> bool:
+        return self.channels >= 5
+
 
 def bake_seed_grid(deform_fn: Callable, aabb: jax.Array, resolution: int,
                    chunk: int = 65536) -> SeedGrid:
     """Run the full root search over the lattice; pack results.
 
     Args:
-      deform_fn: ``(pts [N,3]) -> (pts_cano [N,3], valid [N])`` — the
-        caller's ordinary (searched, min-SDF-reduced) canonicalization.
+      deform_fn: ``(pts [N,3]) -> (pts_cano [N,3], valid [N])`` or
+        ``-> (pts_cano, valid, sdf [N])`` — the caller's ordinary
+        (searched, min-SDF-reduced) canonicalization; the optional third
+        output bakes a canonical-SDF channel alongside the seeds.
       aabb: ``[2,3]`` deformed-space bbox (lo, hi).
       resolution: lattice nodes per axis (align-corners over the bbox).
       chunk: points per ``lax.map`` step (bounds bake memory).
@@ -75,13 +92,18 @@ def bake_seed_grid(deform_fn: Callable, aabb: jax.Array, resolution: int,
     pad = n * chunk - N
     pts_p = jnp.pad(pts, ((0, pad), (0, 0))).reshape(n, chunk, 3)
 
-    def body(p):
-        xc, ok = deform_fn(p)
-        return xc, ok
+    has_sdf = len(jax.eval_shape(deform_fn, pts_p[0])) > 2
 
-    xc, ok = jax.lax.map(body, pts_p)
+    def body(p):
+        out = deform_fn(p)
+        xc, ok = out[0], out[1]
+        sdf = out[2] if has_sdf else jnp.zeros(p.shape[0])
+        return xc, ok, sdf
+
+    xc, ok, sdf = jax.lax.map(body, pts_p)
     xc = xc.reshape(-1, 3)[:N]
     ok = ok.reshape(-1)[:N]
+    sdf = sdf.reshape(-1)[:N]
 
     # validity dilation: nodes where the search failed (periphery, far
     # lattice shells) adopt the mean root of their valid 6-neighbors for
@@ -91,7 +113,7 @@ def bake_seed_grid(deform_fn: Callable, aabb: jax.Array, resolution: int,
     # bake's coverage) then decides validity, matching the searched
     # path's semantics at the periphery.
     res = resolution
-    xg = xc.reshape(res, res, res, 3)
+    xg = jnp.concatenate([xc, sdf[:, None]], -1).reshape(res, res, res, 4)
     og = ok.reshape(res, res, res)
 
     def _shift0(a, shift, axis):
@@ -121,22 +143,28 @@ def bake_seed_grid(deform_fn: Callable, aabb: jax.Array, resolution: int,
         return xg, og
 
     xg, og = jax.lax.fori_loop(0, 2, dilate, (xg, og))
-    xc = xg.reshape(-1, 3)
+    xc = xg.reshape(-1, 4)[:, :3]
+    sdf = xg.reshape(-1, 4)[:, 3]
     ok = og.reshape(-1)
 
     okf = ok.astype(xc.dtype)
     shape = (resolution, resolution, resolution)
-    packed = corner_pack([xc[:, 0] * okf, xc[:, 1] * okf, xc[:, 2] * okf,
-                          okf], shape, "border")
+    chans = [xc[:, 0] * okf, xc[:, 1] * okf, xc[:, 2] * okf, okf]
+    if has_sdf:
+        chans.append(sdf * okf)
+    packed = corner_pack(chans, shape, "border")
     return SeedGrid(packed=packed,
                     center=0.5 * (lo + hi),
                     half=jnp.maximum(0.5 * (hi - lo), 1e-6))
 
 
-def seed_from_grid(grid: SeedGrid, pts: jax.Array, coh_factor: float = 3.0):
-    """Seeds for ``deform_seeded`` from one packed-row gather per point.
+def gather_from_grid(grid: SeedGrid, pts: jax.Array,
+                     coh_factor: float = 3.0):
+    """Seeds (+ baked sdf) from one packed-row gather per point.
 
-    Returns ``(seed_xc [N,3], seed_ok [N])``.  Coherent cells (valid
+    Returns ``(seed_xc [N,3], seed_ok [N], sdf [N] | None)`` — ``sdf``
+    only when the grid was baked with the SDF channel.  Coherent cells
+    (valid
     corner roots within ``coh_factor`` cell diagonals of their mean) get
     the validity-masked trilinear blend; incoherent cells (root-branch
     boundaries) get the nearest valid corner's root unblended.  Cells
@@ -152,7 +180,8 @@ def seed_from_grid(grid: SeedGrid, pts: jax.Array, coh_factor: float = 3.0):
     cell = (jnp.clip(z0, 0, D - 1) * H + jnp.clip(y0, 0, H - 1)) * W \
         + jnp.clip(x0, 0, W - 1)
     N = pts.shape[0]
-    rows = jnp.take(grid.packed, cell, axis=0).reshape(N, 8, 4)
+    C = grid.channels
+    rows = jnp.take(grid.packed, cell, axis=0).reshape(N, 8, C)
     ok_c = rows[:, :, 3] > 0.5                                # [N,8]
     okf = ok_c.astype(rows.dtype)
     xc_c = rows[:, :, :3]                                     # pre-masked
@@ -182,4 +211,23 @@ def seed_from_grid(grid: SeedGrid, pts: jax.Array, coh_factor: float = 3.0):
         xc_c, nearest[:, None, None].repeat(3, -1), axis=1)[:, 0, :]
     seed_xc = jnp.where(coherent[:, None], trilerp, xc_near)
     seed_ok = jnp.any(ok_c, axis=1)
-    return seed_xc, seed_ok
+
+    sdf = None
+    if grid.has_sdf:
+        # same coherent/nearest policy as the seeds; cells with no valid
+        # corner read far off-body (1e5 -> alpha 0), matching the searched
+        # path's not-converged fill
+        sdf_c = rows[:, :, 4]                                 # [N,8], *ok
+        sdf_tri = jnp.sum(wok * sdf_c, axis=1) \
+            / jnp.maximum(denom[:, 0], 1e-9)
+        sdf_near = jnp.take_along_axis(sdf_c, nearest[:, None],
+                                       axis=1)[:, 0]
+        sdf = jnp.where(coherent, sdf_tri, sdf_near)
+        sdf = jnp.where(seed_ok, sdf, 1e5)
+    return seed_xc, seed_ok, sdf
+
+
+def seed_from_grid(grid: SeedGrid, pts: jax.Array, coh_factor: float = 3.0):
+    """(seed_xc, seed_ok) view of :func:`gather_from_grid`."""
+    xc, ok, _ = gather_from_grid(grid, pts, coh_factor)
+    return xc, ok

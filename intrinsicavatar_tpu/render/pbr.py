@@ -208,25 +208,41 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
         # multi-init search with one gather + short polish per sample
         # (anim/seedgrid.py) — the secondary coarse pass is the relight
         # regime's dominant Broyden cost
-        grid_seed = model._grid_seed(seed_grid, pos)
+        gth = model._grid_gather(seed_grid, pos)
+        # When the grid carries the baked SDF channel, this pass — which
+        # only PLACES fine samples and never feeds a shading weight —
+        # needs no field query at all: sdf rides the same row gather as
+        # the seeds (one [8*5]-float row per sample vs a seeded Broyden
+        # polish + hash encode + MLP).  The fine pass below re-queries
+        # the placed midpoints exactly.  `baked_secondary_coarse: false`
+        # restores the queried coarse pass.
+        baked = (gth is not None and gth[2] is not None
+                 and bool(model.config.get("baked_secondary_coarse", True)))
         s_iters = int(model.config.get("seed_grid_polish_iters", 6))
-        with precision.scope(None if cd == "float32" else cd):
-            out = model._deform_query(
-                params, statics, frame, cond, pos, sched,
-                with_grad=False, with_feature=False,
-                eval_mode=True, global_step=step,
-                mask=smask.reshape(-1), mask2d=smask,
-                budget=_secondary_budget(model, smask,
-                                         boost=flags.budget_boost),
-                seed=grid_seed, seed_iters=s_iters)
-        sdf = jax.lax.stop_gradient(out[1]).reshape(t_starts.shape)
+        if baked:
+            sdf = gth[2].reshape(t_starts.shape)
+            xc_coarse = gth[0].reshape(*t_starts.shape, 3)
+            ok_coarse = gth[1].reshape(t_starts.shape) & smask
+        else:
+            grid_seed = None if gth is None else (gth[0], gth[1])
+            with precision.scope(None if cd == "float32" else cd):
+                out = model._deform_query(
+                    params, statics, frame, cond, pos, sched,
+                    with_grad=False, with_feature=False,
+                    eval_mode=True, global_step=step,
+                    mask=smask.reshape(-1), mask2d=smask,
+                    budget=_secondary_budget(model, smask,
+                                             boost=flags.budget_boost),
+                    seed=grid_seed, seed_iters=s_iters)
+            sdf = jax.lax.stop_gradient(out[1]).reshape(t_starts.shape)
+            xc_coarse = jax.lax.stop_gradient(out[0]) \
+                .reshape(*t_starts.shape, 3)
+            ok_coarse = out[2].reshape(t_starts.shape) & smask
         alphas = model.get_alpha(params, sdf, t_ends - t_starts, step)
         alphas = jax.lax.stop_gradient(jnp.where(smask, alphas, 0.0))
         # coarse correspondences kept for seeding the fine pass's root
         # search (the coarse query points sit at t_starts)
         t_coarse = t_starts
-        xc_coarse = jax.lax.stop_gradient(out[0]).reshape(*t_starts.shape, 3)
-        ok_coarse = out[2].reshape(t_starts.shape) & smask
         if model.zero_crossing_search:
             fine = RS.sdf_fine_resample_rays(t_starts, t_ends, alphas, sdf,
                                              smask, 4)

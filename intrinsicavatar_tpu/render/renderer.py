@@ -397,16 +397,24 @@ class IntrinsicAvatar:
             out = self._deform_query(params, statics, frame, cond, p, sched,
                                      with_grad=False, with_feature=False,
                                      eval_mode=True, global_step=step)
-            return out[0], out[2]
+            # third output bakes the canonical-SDF channel: eval placement
+            # passes (secondary coarse march, importance rounds) then read
+            # sdf from the same row gather as the seeds
+            return out[0], out[2], out[1]
 
         return bake_seed_grid(deform_fn, aabb, resolution, chunk)
 
     def _grid_seed(self, seed_grid, pts):
         """(seed_xc, seed_ok) for ``pts`` from the baked grid, or None."""
+        g = self._grid_gather(seed_grid, pts)
+        return None if g is None else (g[0], g[1])
+
+    def _grid_gather(self, seed_grid, pts):
+        """(seed_xc, seed_ok, sdf|None) for ``pts``, or None (no grid)."""
         if seed_grid is None:
             return None
-        from intrinsicavatar_tpu.anim.seedgrid import seed_from_grid
-        return seed_from_grid(
+        from intrinsicavatar_tpu.anim.seedgrid import gather_from_grid
+        return gather_from_grid(
             seed_grid, pts,
             coh_factor=float(self.config.get("seed_grid_coh_factor", 3.0)))
 

@@ -72,6 +72,14 @@ def default_config(dataset_length: int = 100) -> ConfigNode:
             # 94-125`); at 540p/1024spp that is O(5e8) searches vs an
             # O(9e5)-point bake.  Training is unaffected.
             "eval_seed_grid": True,
+            # when the bake carries the SDF channel, the secondary coarse
+            # march — a placement-only pass (it never feeds a shading
+            # weight; `render/pbr.py:_indirect_impl`) — reads sdf from the
+            # same row gather as the seeds instead of running a seeded
+            # polish + hash encode + MLP per sample.  The fine pass still
+            # re-queries its placed midpoints exactly.  Eval-only (the
+            # grid only exists at eval); false restores the queried pass.
+            "baked_secondary_coarse": True,
             "seed_grid_resolution": 96,
             "seed_grid_polish_iters": 6,
             "seed_grid_coh_factor": 3.0,

@@ -223,3 +223,99 @@ def test_render_with_seed_grid_matches_exact():
     np.testing.assert_allclose(np.asarray(out1["depth"])[agree],
                                np.asarray(out0["depth"])[agree],
                                atol=2e-2)
+
+
+def test_baked_sdf_channel_matches_direct(body, rng):
+    """The grid's SDF channel (gather_from_grid) must track the directly
+    queried sdf at near-surface points to within ~a lattice cell of
+    Lipschitz-1 error — the placement-accuracy contract of the baked
+    secondary coarse pass (render/pbr.py `baked_secondary_coarse`)."""
+    from intrinsicavatar_tpu.anim.seedgrid import gather_from_grid
+
+    d, statics, frame, geometry_fn = _setup(body)
+    v = frame.voxel_d.reshape(3, -1)
+    aabb = jnp.stack([v.min(1), v.max(1)])
+
+    def deform_fn(p):
+        out = d.deform(statics, frame, p, geometry_fn, eval_mode=True)
+        return out[0], out[2], out[1]        # xc, ok, sdf
+
+    res = 48
+    grid = bake_seed_grid(deform_fn, aabb, res, chunk=8192)
+    assert grid.has_sdf
+    assert grid.packed.shape == (res ** 3, 40)
+
+    N = 512
+    sel = rng.choice(frame.vertices.shape[0], N, replace=False)
+    pts = jnp.asarray(np.asarray(frame.vertices)[sel]
+                      + rng.normal(scale=0.02, size=(N, 3)).astype(
+                          np.float32))
+    full = d.deform(statics, frame, pts, geometry_fn, eval_mode=True)
+    _, ok_g, sdf_g = gather_from_grid(grid, pts)
+
+    m = np.asarray(full[2]) & np.asarray(ok_g)
+    assert m.mean() > 0.9
+    err = np.abs(np.asarray(sdf_g)[m] - np.asarray(full[1])[m])
+    cell = 2.0 * float(np.max(np.asarray(grid.half))) / (res - 1)
+    assert np.median(err) < 0.5 * cell
+    assert (err < 2.0 * cell).mean() > 0.95
+    # off-body: no valid corner -> far-field fill
+    far = jnp.asarray(aabb[0][None] + 0.01 * (aabb[1] - aabb[0])[None])
+    _, ok_far, sdf_far = gather_from_grid(grid, far)
+    assert not bool(np.asarray(ok_far)[0])
+    assert float(np.asarray(sdf_far)[0]) > 1e4
+
+
+def test_baked_coarse_matches_queried_phys_render():
+    """`baked_secondary_coarse` (read placement sdf from the grid) vs the
+    seeded-query coarse pass: the physically based render must agree to
+    placement tolerance — the fine pass re-queries exactly either way."""
+    from intrinsicavatar_tpu.render.renderer import (
+        IntrinsicAvatar, RenderFlags)
+    from intrinsicavatar_tpu.render.occupancy import make_occ_grid
+    from intrinsicavatar_tpu.utils.default_config import tiny_config
+
+    outs = {}
+    for baked in (False, True):
+        cfg = tiny_config()
+        cfg.model.phys_kick_in_step = 0
+        cfg.model.baked_secondary_coarse = baked
+        model = IntrinsicAvatar(cfg.model)
+        statics = model.initialize(np.zeros(10))
+        params = model.init(jax.random.PRNGKey(0))
+        batch = {
+            "index": jnp.asarray([0]),
+            "betas": jnp.zeros(10),
+            "body_pose": jnp.zeros(69),
+            "global_orient": jnp.zeros(3),
+            "transl": jnp.asarray([0.0, 0.3, 2.0]),
+        }
+        frame, cond = model.prepare(params, statics, batch, global_step=0)
+        occ = make_occ_grid(np.asarray(cfg.model.scene_aabb)[None],
+                            resolution=cfg.model.occ_resolution)
+        rng_l = np.random.default_rng(3)
+        R = 8
+        target = np.array([0.0, 0.3, 2.0]) + rng_l.normal(scale=0.15,
+                                                          size=(R, 3))
+        rays_o = np.zeros((R, 3), np.float32)
+        rays_d = (target / np.linalg.norm(target, axis=-1, keepdims=True)
+                  ).astype(np.float32)
+        rays = jnp.asarray(np.concatenate(
+            [rays_o, rays_d, np.full((R, 1), 1.0, np.float32),
+             np.full((R, 1), 3.0, np.float32)], -1))
+        flags = RenderFlags(training=False, enable_phys=True,
+                            importance_sample=False, randomized=False)
+        grid = model.bake_seed_grid(params, statics, frame, cond, 0,
+                                    resolution=48, chunk=8192)
+        assert grid.has_sdf
+        outs[baked] = model.forward(
+            params, statics, frame, cond, occ, rays, jax.random.PRNGKey(2),
+            0, flags, background_color=jnp.zeros(3), seed_grid=grid)
+
+    a, b = outs[False], outs[True]
+    for k in ("comp_rgb_phys", "opacity"):
+        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        assert np.isfinite(vb).all()
+        # same secondary directions (same key); only fine-sample PLACEMENT
+        # differs (queried sdf vs trilerped sdf), so outputs track closely
+        assert np.mean(np.abs(va - vb)) < 3e-2, (k, np.mean(np.abs(va - vb)))
