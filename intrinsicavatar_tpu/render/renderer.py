@@ -270,6 +270,15 @@ class IntrinsicAvatar:
         t = jnp.where(iv.valid, iv.vals, 0.0)
         pos = (rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
                ).reshape(-1, 3)
+        gth = self._grid_gather(seed_grid, pos)
+        # Importance rounds only PLACE the primary shading samples (which
+        # re-query their midpoints exactly, seeded, below in forward) —
+        # like the baked secondary coarse pass, a grid with the SDF
+        # channel answers every edge from the seed gather's own row.
+        # ``baked_importance: false`` restores the queried rounds.
+        if (gth is not None and gth[2] is not None
+                and bool(self.config.get("baked_importance", True))):
+            return jnp.where(iv.valid, gth[2].reshape(R, E), 1e10)
         qmask = iv.valid if is_new is None else (iv.valid & is_new)
         nb = None if is_new is None else R * self.n_importance_samples
         if full_budget and nb is None:
@@ -279,7 +288,8 @@ class IntrinsicAvatar:
                                  eval_mode=True, global_step=step,
                                  mask=qmask.reshape(-1), budget=nb,
                                  mask2d=qmask, boost=boost,
-                                 seed=self._grid_seed(seed_grid, pos),
+                                 seed=None if gth is None
+                                 else (gth[0], gth[1]),
                                  seed_iters=int(self.config.get(
                                      "seed_grid_polish_iters", 6)))
         sdf_new = jax.lax.stop_gradient(out[1]).reshape(R, E)

@@ -80,6 +80,10 @@ def default_config(dataset_length: int = 100) -> ConfigNode:
             # re-queries its placed midpoints exactly.  Eval-only (the
             # grid only exists at eval); false restores the queried pass.
             "baked_secondary_coarse": True,
+            # same trade for the primary importance-resampling rounds —
+            # placement-only edge sdf from the grid's row gather; the
+            # primary shading pass re-queries its midpoints exactly
+            "baked_importance": True,
             "seed_grid_resolution": 96,
             "seed_grid_polish_iters": 6,
             "seed_grid_coh_factor": 3.0,

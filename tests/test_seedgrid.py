@@ -319,3 +319,54 @@ def test_baked_coarse_matches_queried_phys_render():
         # same secondary directions (same key); only fine-sample PLACEMENT
         # differs (queried sdf vs trilerped sdf), so outputs track closely
         assert np.mean(np.abs(va - vb)) < 3e-2, (k, np.mean(np.abs(va - vb)))
+
+
+def test_baked_importance_matches_queried_render():
+    """`baked_importance` (edge sdf from the grid) vs the seeded-query
+    importance rounds: eval radiance render must agree to placement
+    tolerance — the primary shading pass re-queries exactly either way."""
+    from intrinsicavatar_tpu.render.renderer import (
+        IntrinsicAvatar, RenderFlags)
+    from intrinsicavatar_tpu.render.occupancy import make_occ_grid
+    from intrinsicavatar_tpu.utils.default_config import tiny_config
+
+    outs = {}
+    for baked in (False, True):
+        cfg = tiny_config()
+        cfg.model.baked_importance = baked
+        model = IntrinsicAvatar(cfg.model)
+        statics = model.initialize(np.zeros(10))
+        params = model.init(jax.random.PRNGKey(0))
+        batch = {
+            "index": jnp.asarray([0]),
+            "betas": jnp.zeros(10),
+            "body_pose": jnp.zeros(69),
+            "global_orient": jnp.zeros(3),
+            "transl": jnp.asarray([0.0, 0.3, 2.0]),
+        }
+        frame, cond = model.prepare(params, statics, batch, global_step=0)
+        occ = make_occ_grid(np.asarray(cfg.model.scene_aabb)[None],
+                            resolution=cfg.model.occ_resolution)
+        rng_l = np.random.default_rng(3)
+        R = 8
+        target = np.array([0.0, 0.3, 2.0]) + rng_l.normal(scale=0.15,
+                                                          size=(R, 3))
+        rays_o = np.zeros((R, 3), np.float32)
+        rays_d = (target / np.linalg.norm(target, axis=-1, keepdims=True)
+                  ).astype(np.float32)
+        rays = jnp.asarray(np.concatenate(
+            [rays_o, rays_d, np.full((R, 1), 1.0, np.float32),
+             np.full((R, 1), 3.0, np.float32)], -1))
+        flags = RenderFlags(training=False, enable_phys=False,
+                            importance_sample=True, randomized=False)
+        grid = model.bake_seed_grid(params, statics, frame, cond, 0,
+                                    resolution=48, chunk=8192)
+        outs[baked] = model.forward(
+            params, statics, frame, cond, occ, rays, jax.random.PRNGKey(2),
+            0, flags, background_color=jnp.zeros(3), seed_grid=grid)
+
+    a, b = outs[False], outs[True]
+    for k in ("comp_rgb", "opacity", "depth"):
+        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        assert np.isfinite(vb).all()
+        assert np.mean(np.abs(va - vb)) < 3e-2, (k, np.mean(np.abs(va - vb)))
