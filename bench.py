@@ -4,9 +4,18 @@ relighting throughput on the flagship model.
 Prints one JSON line per metric; the LAST line is the headline
 ``train_rays_per_sec`` (the driver parses the final line):
 
-    {"metric": "relight_spp_px_per_sec", ...}
-    {"metric": "train_rays_per_sec_phys", ...}
     {"metric": "train_rays_per_sec", ...}
+    {"metric": "train_rays_per_sec_phys", ...}
+    {"metric": "relight_spp_px_per_sec", ...}
+    {"metric": "train_rays_per_sec", ...}   # headline re-emit, always last
+
+Regime order is cheapest-and-most-important first and every regime's
+line is flushed the moment it is measured, so an external timeout can
+only cost the regimes not yet reached — never an already-measured one
+(round 4 lost the radiance headline to exactly that: rc=124 with the
+headline scheduled last).  An internal deadline (``BENCH_DEADLINE_S``,
+default 1500 s) additionally skips regimes that no longer fit and
+guarantees the final headline re-emit happens inside the budget.
 
 Regimes (BASELINE.md / reference `configs/config.yaml`):
   * train (radiance): step 5000 — 128 uniform + 2x16 importance samples,
@@ -82,10 +91,20 @@ def build_system(extra=None, grad_accum=None):
     return system, state
 
 
+_T0 = time.monotonic()
+_DEADLINE_S = float(__import__("os").environ.get("BENCH_DEADLINE_S", 1500))
+_EMITTED = {}
+
+
+def _remaining():
+    return _DEADLINE_S - (time.monotonic() - _T0)
+
+
 def emit(metric, value, unit, **extra):
-    print(json.dumps({"metric": metric, "value": round(float(value), 2),
-                      "unit": unit, "vs_baseline": None, **extra}),
-          flush=True)
+    line = {"metric": metric, "value": round(float(value), 2),
+            "unit": unit, "vs_baseline": None, **extra}
+    _EMITTED[metric] = line
+    print(json.dumps(line), flush=True)
 
 
 def bench_train(n_rays, bench_step, metric, grad_accum):
@@ -168,7 +187,7 @@ def bench_relight(ray_chunk=1024, spp=1024):
          seed_grid=seed_grid is not None, bake_s=round(bake_s, 2))
 
 
-def _probe_backend(timeout_s=300, attempts=5, retry_wait_s=180):
+def _probe_backend(timeout_s=120, attempts=2, retry_wait_s=60):
     """Fail fast if the TPU backend cannot initialize (a SIGKILLed
     client can wedge the axon tunnel for hours — backend init then hangs
     minutes per process before erroring).  Probing in a subprocess keeps
@@ -204,6 +223,16 @@ def _probe_backend(timeout_s=300, attempts=5, retry_wait_s=180):
     return False
 
 
+def _skip_if_tight(regime, est_s):
+    """Skip a regime whose worst-case cost no longer fits the deadline."""
+    if _remaining() < est_s:
+        print(f"bench: skipping {regime} — {est_s:.0f}s estimated but "
+              f"only {_remaining():.0f}s of BENCH_DEADLINE_S left",
+              file=sys.stderr, flush=True)
+        return True
+    return False
+
+
 def main():
     _setup_jax()
     if not _probe_backend():
@@ -219,29 +248,46 @@ def main():
         elif a.isdigit():
             n_rays = int(a)
 
-    if only in (None, "relight"):
-        try:
-            bench_relight()
-        except Exception:
-            traceback.print_exc()
-            try:
-                bench_relight(ray_chunk=256)   # HBM fallback
-            except Exception:
-                traceback.print_exc()
-    if only in (None, "phys"):
-        try:
-            bench_train(n_rays, 15000, "train_rays_per_sec_phys",
-                        grad_accum=4 if n_rays >= 4096 else 2)
-        except Exception:
-            traceback.print_exc()
-    if only in (None, "train"):
-        # headline metric LAST: the driver parses the final JSON line
+    # Cheapest-and-headline first; every regime's line is durable the
+    # moment it prints.  Estimates are cold-compile worst cases; a warm
+    # .jax_cache (kept in-repo and refreshed whenever bench runs during
+    # the round) makes each regime far cheaper than its estimate.
+    if only in (None, "train") and not _skip_if_tight("train", 240):
         try:
             bench_train(n_rays, 5000, "train_rays_per_sec",
                         grad_accum=2 if n_rays >= 4096 else 1)
         except Exception:
             traceback.print_exc()
-            bench_train(2048, 5000, "train_rays_per_sec", grad_accum=1)
+            try:
+                bench_train(2048, 5000, "train_rays_per_sec", grad_accum=1)
+            except Exception:
+                traceback.print_exc()
+    if only in (None, "phys") and not _skip_if_tight("phys", 360):
+        try:
+            bench_train(n_rays, 15000, "train_rays_per_sec_phys",
+                        grad_accum=4 if n_rays >= 4096 else 2)
+        except Exception:
+            traceback.print_exc()
+    if only in (None, "relight") and not _skip_if_tight("relight", 420):
+        try:
+            bench_relight()
+        except Exception:
+            traceback.print_exc()
+            if not _skip_if_tight("relight-fallback", 300):
+                try:
+                    bench_relight(ray_chunk=256)   # HBM fallback
+                except Exception:
+                    traceback.print_exc()
+
+    # The driver parses the FINAL line: re-emit the headline (or the most
+    # important metric that did get measured) so later-regime failures or
+    # timeouts can never displace it.
+    for headline in ("train_rays_per_sec", "relight_spp_px_per_sec",
+                     "train_rays_per_sec_phys"):
+        if headline in _EMITTED:
+            print(json.dumps(_EMITTED[headline]), flush=True)
+            return
+    sys.exit(4)
 
 
 if __name__ == "__main__":

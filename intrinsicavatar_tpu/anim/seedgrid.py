@@ -39,20 +39,29 @@ class SeedGrid(NamedTuple):
     """Corner-packed correspondence lattice over the deformed-space bbox.
 
     ``packed[cell, corner*C + c]`` holds ``(x_c*ok, y_c*ok, z_c*ok, ok)``
-    — and, when baked with an SDF channel (C == 5), ``sdf*ok`` — at the 8
-    cell corners ("border" packing: cells == D*H*W and base cells are
-    always in-grid).  ``center``/``half`` map SMPL-space points into the
-    lattice's [-1,1]^3 frame per axis.  Resolution is static, recovered
-    from ``packed.shape[0]`` (cubic lattice).
+    — and, when baked with an SDF channel (C == 6),
+    ``(sdf*sdf_ok, sdf_ok)`` — at the 8 cell corners ("border" packing:
+    cells == D*H*W and base cells are always in-grid).  ``center``/
+    ``half`` map SMPL-space points into the lattice's [-1,1]^3 frame per
+    axis.  Resolution is static, recovered from ``packed.shape[0]``
+    (cubic lattice).
 
     The SDF channel lets eval-time *placement* passes (secondary coarse
     march, importance rounds) read sdf from one row gather instead of a
     seeded Broyden polish + hash encode + MLP per query — those passes
     only position fine samples; every shading/visibility weight is still
     computed from exact re-queries at the placed samples.
+
+    ``sdf_ok`` is the PRE-dilation search validity: validity dilation
+    exists to hand out polish SEEDS at the body margin (the polish then
+    re-decides validity), but the sdf channel is consumed raw — an
+    adopted node's neighbor-mean sdf would put ghost density in space
+    the search itself calls empty, so adopted nodes stay sdf-invalid and
+    the gather falls back to the searched path's not-converged fill
+    (1e5).
     """
 
-    packed: jax.Array     # [res^3, 8*C], C in (4, 5)
+    packed: jax.Array     # [res^3, 8*C], C in (4, 6)
     center: jax.Array     # [3]
     half: jax.Array       # [3]
 
@@ -142,16 +151,19 @@ def bake_seed_grid(deform_fn: Callable, aabb: jax.Array, resolution: int,
         og = og | adopt
         return xg, og
 
+    ok_orig = ok                       # pre-dilation: the sdf channel's mask
     xg, og = jax.lax.fori_loop(0, 2, dilate, (xg, og))
     xc = xg.reshape(-1, 4)[:, :3]
-    sdf = xg.reshape(-1, 4)[:, 3]
     ok = og.reshape(-1)
 
     okf = ok.astype(xc.dtype)
     shape = (resolution, resolution, resolution)
     chans = [xc[:, 0] * okf, xc[:, 1] * okf, xc[:, 2] * okf, okf]
     if has_sdf:
-        chans.append(sdf * okf)
+        # raw searched sdf under the pre-dilation mask: adopted margin
+        # nodes provide seeds but never sdf (see class docstring)
+        okf0 = ok_orig.astype(xc.dtype)
+        chans += [sdf * okf0, okf0]
     packed = corner_pack(chans, shape, "border")
     return SeedGrid(packed=packed,
                     center=0.5 * (lo + hi),
@@ -175,6 +187,10 @@ def gather_from_grid(grid: SeedGrid, pts: jax.Array,
     res = grid.resolution
     D = H = W = res
     n = (pts - grid.center) / grid.half                       # [-1,1]^3
+    # "border" packing clamps out-of-lattice queries to the boundary
+    # cell; a point beyond the bbox (+half-cell slack) has no meaningful
+    # row there — genuinely off-body space, invalid like a failed search
+    inside = jnp.all(jnp.abs(n) <= 1.0 + 1.0 / max(res - 1, 1), axis=-1)
     x0, y0, z0, fx, fy, fz = _corner_setup(
         n[:, 0], n[:, 1], n[:, 2], D, H, W, "border")
     cell = (jnp.clip(z0, 0, D - 1) * H + jnp.clip(y0, 0, H - 1)) * W \
@@ -210,20 +226,26 @@ def gather_from_grid(grid: SeedGrid, pts: jax.Array,
     xc_near = jnp.take_along_axis(
         xc_c, nearest[:, None, None].repeat(3, -1), axis=1)[:, 0, :]
     seed_xc = jnp.where(coherent[:, None], trilerp, xc_near)
-    seed_ok = jnp.any(ok_c, axis=1)
+    seed_ok = jnp.any(ok_c, axis=1) & inside
 
     sdf = None
     if grid.has_sdf:
-        # same coherent/nearest policy as the seeds; cells with no valid
-        # corner read far off-body (1e5 -> alpha 0), matching the searched
-        # path's not-converged fill
-        sdf_c = rows[:, :, 4]                                 # [N,8], *ok
-        sdf_tri = jnp.sum(wok * sdf_c, axis=1) \
-            / jnp.maximum(denom[:, 0], 1e-9)
-        sdf_near = jnp.take_along_axis(sdf_c, nearest[:, None],
+        # same coherent/nearest policy as the seeds but under the sdf
+        # channel's OWN (pre-dilation) validity; cells with no
+        # sdf-valid corner read far off-body (1e5 -> alpha 0), matching
+        # the searched path's not-converged fill
+        sdf_c = rows[:, :, 4]                                 # [N,8], *sok
+        sok_c = rows[:, :, 5] > 0.5                           # [N,8]
+        sokf = sok_c.astype(rows.dtype)
+        wsok = w * sokf
+        sdf_tri = jnp.sum(wsok * sdf_c, axis=1) \
+            / jnp.maximum(jnp.sum(wsok, axis=1), 1e-9)
+        near_s = jnp.argmax(wsok + sokf * 1e-6, axis=1)
+        sdf_near = jnp.take_along_axis(sdf_c, near_s[:, None],
                                        axis=1)[:, 0]
         sdf = jnp.where(coherent, sdf_tri, sdf_near)
-        sdf = jnp.where(seed_ok, sdf, 1e5)
+        sdf_ok = jnp.any(sok_c, axis=1) & inside
+        sdf = jnp.where(sdf_ok, sdf, 1e5)
     return seed_xc, seed_ok, sdf
 
 

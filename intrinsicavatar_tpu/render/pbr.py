@@ -281,7 +281,11 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
         seed_ok = (jnp.take_along_axis(ok_coarse, j, axis=1)
                    & smask).reshape(-1)
         seed = (seed_xc, seed_ok)
-        fine_seed_iters = None   # nearest-coarse seeds: default short polish
+        # baked coarse roots are raw grid trilerps (never polished) — give
+        # the fine pass the same polish length as grid-derived seeds get
+        # elsewhere; converged coarse roots keep the default short polish
+        fine_seed_iters = (int(model.config.get("seed_grid_polish_iters", 6))
+                           if baked else None)
     elif seed_grid is not None:
         # no coarse pass to seed from — use the baked per-frame grid
         seed = model._grid_seed(seed_grid, pos)

@@ -12,16 +12,24 @@ shapes stays invisible until an 8-chip pod run.
 planning) without executing, so it is tractable on the CPU backend at
 flagship shapes.  Prints the compiler's memory analysis per device.
 
+``--execute`` (VERDICT r4 ask #8) additionally RUNS one optimizer step
+at a mid-size shape (default 1024 rays, 128 spp, grad-accum 1) on the
+mesh, asserts a finite loss, and checks the parameter update matches a
+single-device run of the same batch to reduction-order tolerance — the
+execution evidence the compile-only path can't give.
+
 Usage::
 
-    python scripts/dryrun_flagship_mesh.py [n_devices] [n_rays]
+    python scripts/dryrun_flagship_mesh.py [n_devices] [n_rays] [--execute]
 """
 
 import os
 import sys
 
-N_DEV = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-N_RAYS = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+EXECUTE = "--execute" in sys.argv
+N_DEV = int(ARGS[0]) if len(ARGS) > 0 else 8
+N_RAYS = int(ARGS[1]) if len(ARGS) > 1 else (1024 if EXECUTE else 4096)
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -42,6 +50,67 @@ from intrinsicavatar_tpu.utils.config import merge  # noqa: E402
 from intrinsicavatar_tpu.parallel.sharding import (  # noqa: E402
     make_mesh, batch_shardings, replicated,
 )
+
+
+def _tree_max_abs(tree):
+    leaves = [np.max(np.abs(np.asarray(x))) for x in jax.tree.leaves(tree)
+              if hasattr(x, "dtype") and np.issubdtype(
+                  np.asarray(x).dtype, np.floating)]
+    return max(leaves) if leaves else 0.0
+
+
+def execute_step():
+    """One REAL optimizer step on the mesh at mid-size shape, checked
+    against a single-device run of the identical batch."""
+    devices = jax.devices("cpu")[:N_DEV]
+    assert len(devices) == N_DEV, devices
+    cfg = default_config()
+    cfg = merge(cfg, {"model": {
+        "samples_per_pixel": int(os.environ.get("DRYRUN_SPP", 128)),
+        "deformer": {"rigid_deformer": {
+            "deformer_config": {"resolution": 64}}}}})
+    cfg.trainer.grad_accum = 1
+    system = IntrinsicAvatarSystem(cfg)
+    state = system.setup(np.zeros(10), jax.random.PRNGKey(0))
+    batch = _make_batch(N_RAYS)
+    step_flags = system.flags_for_step(15000)   # phys + importance regime
+    assert step_flags.enable_phys
+
+    def step_fn(state, batch, t_idx):
+        return system.train_step_impl(state, batch, t_idx, step_flags)
+
+    results = {}
+    for n in (N_DEV, 1):
+        mesh = make_mesh(devices[:n])
+        jitted = jax.jit(step_fn, in_shardings=(
+            replicated(mesh, state), batch_shardings(mesh, batch),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())))
+        st = jax.device_put(state, replicated(mesh, state))
+        bt = jax.device_put(batch, batch_shardings(mesh, batch))
+        new_state, losses = jitted(st, bt, 0.0)
+        jax.block_until_ready(new_state.params)
+        total = float(losses["total"])
+        assert np.isfinite(total), f"non-finite loss on {n} devices: {total}"
+        results[n] = (jax.device_get(new_state.params), total)
+        print(f"  {n}-device step: loss={total:.6f}")
+
+    p_n, loss_n = results[N_DEV]
+    p_1, loss_1 = results[1]
+    # the sharded step reduces over rays via psum (different reduction
+    # order than the single-device sum) — demand agreement well beyond
+    # any real sharding bug but above f32 reassociation noise
+    assert abs(loss_n - loss_1) <= 1e-3 * max(1.0, abs(loss_1)), \
+        (loss_n, loss_1)
+    diff = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
+                        p_n, p_1)
+    upd = jax.tree.map(
+        lambda a, b: np.asarray(a) - np.asarray(b), p_1, state.params)
+    max_diff, max_upd = _tree_max_abs(diff), _tree_max_abs(upd)
+    print(f"flagship mesh EXECUTE ok: {N_DEV} devices, {N_RAYS} rays, "
+          f"spp {cfg.model.samples_per_pixel}, loss {loss_n:.6f} vs "
+          f"single-device {loss_1:.6f}; max |param diff| {max_diff:.2e} "
+          f"(max |update| {max_upd:.2e})")
+    assert max_diff <= 5e-2 * max(max_upd, 1e-8), (max_diff, max_upd)
 
 
 def main():
@@ -82,4 +151,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if EXECUTE:
+        execute_step()
+    else:
+        main()

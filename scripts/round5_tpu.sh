@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-5 TPU runbook.  No checkpoint survived the round-4/5 machine
+# reset (exp/ is gitignored), so the phys phase TRAINS FROM SCRATCH —
+# the full 5000-step compressed r3 recipe (4000 radiance + 1000 phys),
+# then the relight protocol from the final checkpoint.
+# NEVER SIGKILL any process started here: a KILLed client wedges the
+# axon tunnel (see README "Operational notes").
+#
+# Usage:  bash scripts/round5_tpu.sh [stage]
+#   stage ∈ {bench, train, relight, profile, all}   (default: bench)
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/round5_tpu
+mkdir -p $LOG
+stage="${1:-bench}"
+
+run() {  # run <name> <cmd...>  — logs, never SIGKILLs
+  local name=$1; shift
+  echo "=== $name: $* ==="
+  "$@" 2>&1 | tee "$LOG/$name.log"
+}
+
+if [ "$stage" = bench ] || [ "$stage" = all ]; then
+  # Driver-verifiable numbers + a hot .jax_cache for the driver's run.
+  run bench python bench.py
+fi
+
+if [ "$stage" = train ] || [ "$stage" = all ]; then
+  # The full compressed recipe from scratch; checkpoint every 100 steps
+  # so a crash costs minutes.  ~2-3 h on one v5e chip.
+  run train python -m intrinsicavatar_tpu.launch \
+    --config configs/capsule-m3c-r3.yaml --exp-dir exp \
+    trainer.ckpt_every_n_steps=100
+fi
+
+if [ "$stage" = relight ] || [ "$stage" = all ]; then
+  ckpt=$(ls -d exp/capsule-m3c-r3/*/ckpt/step* 2>/dev/null \
+         | sort -t p -k 3 -n | tail -1)
+  if [ -z "$ckpt" ]; then echo "no checkpoint for relight"; exit 1; fi
+  run relight python -m intrinsicavatar_tpu.launch \
+    --config configs/capsule-m3c-r3.yaml --exp-dir exp \
+    --mode test --resume "$ckpt" \
+    dataset.hdri_filepath=procedural model.render_mode=light \
+    model.samples_per_pixel=256
+fi
+
+if [ "$stage" = profile ] || [ "$stage" = all ]; then
+  # Stage attribution + lever on/off deltas for the README lever table.
+  run prof_relight       python scripts/profile_stages.py relight --chunk 1024
+  run prof_relight_nosg  python scripts/profile_stages.py relight --chunk 1024 --no-seed-grid
+  run prof_relight_chunk python scripts/profile_stages.py relight --chunk 2048
+  run prof_phys          python scripts/profile_stages.py phys
+  run prof_radiance      python scripts/profile_stages.py radiance
+fi

@@ -243,7 +243,7 @@ def test_baked_sdf_channel_matches_direct(body, rng):
     res = 48
     grid = bake_seed_grid(deform_fn, aabb, res, chunk=8192)
     assert grid.has_sdf
-    assert grid.packed.shape == (res ** 3, 40)
+    assert grid.packed.shape == (res ** 3, 48)
 
     N = 512
     sel = rng.choice(frame.vertices.shape[0], N, replace=False)
