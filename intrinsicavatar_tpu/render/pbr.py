@@ -88,7 +88,8 @@ def sample_volume_interaction(model, rays_o, rays_d, t_starts, t_ends, smask,
 
 def compute_indirect_radiance(model, params, statics, frame, cond, sched,
                               occ_binaries, occ_aabb, rays_o, rays_d, step,
-                              flags, active=None, seed_grid=None):
+                              flags, active=None, seed_grid=None,
+                              _compacted=False):
     """Secondary-ray marcher (`models/intrinsic_avatar.py:396-545`).
 
     Large fan-outs (rays x spp) are processed in fixed-size chunks via
@@ -106,6 +107,35 @@ def compute_indirect_radiance(model, params, statics, frame, cond, sched,
     rays_o = jax.lax.stop_gradient(rays_o)
     rays_d = jax.lax.stop_gradient(rays_d)
     M = rays_o.shape[0]
+
+    # Active-ray compaction: in `light`/`uniform_light` modes roughly half
+    # the secondary fan-out is inactive (`fg & cos_ok` — emitter samples
+    # behind the normal), yet the rectangular layout pays the full march,
+    # coarse placement and budgeted fine re-query for every lane.  Gather
+    # the active rays into a static budget first (whole stage is
+    # gradient-free, so the scatter-back is autodiff-trivial); overflow
+    # beyond the budget is counted (`ovf_sec_active`) and those rays keep
+    # the tr=0/rgb=0 fill — the same contribution the caller's `active`
+    # masking gives them today.  Opt-in until its TPU delta is measured
+    # (`secondary_active_compaction: 0.625` ~= safe for cos-gated spp).
+    frac = float(model.config.get("secondary_active_compaction", 0.0))
+    if active is not None and 0.0 < frac < 1.0 and not _compacted:
+        from intrinsicavatar_tpu.ops.compact import compact_indices
+        from intrinsicavatar_tpu.utils import diag
+        budget = min(max((-(-int(M * frac) // 128)) * 128, 128), M)
+        idx, picked = compact_indices(active, budget)
+        diag.record("ovf_sec_active", jnp.maximum(
+            jnp.sum(active.astype(jnp.int32)) - budget, 0))
+        tr_c, rgb_c = compute_indirect_radiance(
+            model, params, statics, frame, cond, sched, occ_binaries,
+            occ_aabb, rays_o[idx], rays_d[idx], step, flags,
+            active=picked, seed_grid=seed_grid, _compacted=True)
+        tr = jnp.zeros((M,), tr_c.dtype).at[idx].set(
+            jnp.where(picked, tr_c, 0.0))
+        rgb = jnp.zeros((M, 3), rgb_c.dtype).at[idx].set(
+            jnp.where(picked[:, None], rgb_c, 0.0))
+        return tr, rgb
+
     chunk = int(model.config.get("secondary_shader_chunk", 32768))
     if M > chunk:
         n = -(-M // chunk)

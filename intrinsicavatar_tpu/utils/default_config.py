@@ -87,6 +87,13 @@ def default_config(dataset_length: int = 100) -> ConfigNode:
             "seed_grid_resolution": 96,
             "seed_grid_polish_iters": 6,
             "seed_grid_coh_factor": 3.0,
+            # gather only the ACTIVE secondary rays (fg & cos-gated — about
+            # half the fan-out in light/uniform_light modes) into a static
+            # budget = frac * M before the secondary march; overflow rays
+            # keep the inactive fill and are counted (ovf_sec_active).
+            # 0 disables (march every lane).  Opt-in until the TPU delta
+            # is measured (render/pbr.py compute_indirect_radiance).
+            "secondary_active_compaction": 0.0,
             "zero_crossing_search": True,
             "resample_light": True,
             "volume_scattering": True,

@@ -186,6 +186,55 @@ def test_secondary_shader_chunking_matches_monolithic(setup):
     np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb2), atol=1e-5)
 
 
+def test_secondary_active_compaction_matches_full(setup):
+    """`secondary_active_compaction` (gather active rays into a static
+    budget before the secondary march) must reproduce the full-lane
+    march on active rays and return the inactive fill (tr=0, rgb=0) on
+    the rest — the caller masks those out either way."""
+    from intrinsicavatar_tpu.render.pbr import compute_indirect_radiance
+    m = setup["model"]
+    params = setup["params"]
+    frame, cond = setup["frame"], setup["cond"]
+    sched = m._schedules(0)
+    occ = setup["occ"]
+    rng = np.random.default_rng(7)
+    # budget rounds up to a multiple of 128: M=512 at frac 0.5 gives a
+    # real 256-lane budget (not a whole-set permutation), and a 40%
+    # active rate keeps it overflow-free
+    M = 512
+    pos = jnp.asarray(np.asarray(frame.vertices)[
+        rng.integers(0, frame.vertices.shape[0], M)])
+    dirs = rng.normal(size=(M, 3))
+    dirs = jnp.asarray((dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
+                       .astype(np.float32))
+    active = jnp.asarray(rng.uniform(size=M) < 0.4)
+    flags = RenderFlags(training=False, enable_phys=True,
+                        importance_sample=False, randomized=False)
+    old_qc = m.config.get("query_compaction", 0.5)
+    m.config["query_compaction"] = 0
+    try:
+        tr1, rgb1 = compute_indirect_radiance(
+            m, params, setup["statics"], frame, cond, sched,
+            occ.binaries[0], occ.aabbs[0], pos, dirs, 11000, flags,
+            active=active)
+        m.config["secondary_active_compaction"] = 0.5
+        tr2, rgb2 = compute_indirect_radiance(
+            m, params, setup["statics"], frame, cond, sched,
+            occ.binaries[0], occ.aabbs[0], pos, dirs, 11000, flags,
+            active=active)
+    finally:
+        m.config["query_compaction"] = old_qc
+        m.config.pop("secondary_active_compaction")
+    a = np.asarray(active)
+    np.testing.assert_allclose(np.asarray(tr1)[a], np.asarray(tr2)[a],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb1)[a], np.asarray(rgb2)[a],
+                               atol=1e-5)
+    # inactive lanes return the fill the caller would mask to anyway
+    assert np.all(np.asarray(tr2)[~a] == 0.0)
+    assert np.all(np.asarray(rgb2)[~a] == 0.0)
+
+
 def test_gi_off_and_add_emitter_branches():
     """global_illumination=False and add_emitter=True branches
     (`render/pbr.py:207,304-319`) run and stay finite."""
