@@ -414,6 +414,32 @@ class IntrinsicAvatar:
 
         return bake_seed_grid(deform_fn, aabb, resolution, chunk)
 
+    def use_train_seed_grid(self, flags) -> bool:
+        """Per-STEP baked correspondence grid for the phys training regime.
+
+        The eval grid amortizes one bake over a whole frame; at training
+        time the pose changes per step, but a phys step's secondary
+        fan-out (rays x spp x occupied coarse samples, ~10^7 inverse-
+        skinning queries at the reference's 4096x512 regime —
+        `models/intrinsic_avatar.py:396-545` pays the full search per
+        query) dwarfs a 64^3 (~2.6e5-point) bake.  The entire secondary
+        stage is gradient-free (the reference wraps it in torch.no_grad),
+        so placement-from-bake + seeded fine polish carry no gradient
+        contract at all; the primary shading pass is untouched.  Opt-in
+        via ``train_seed_grid: true`` until its TPU delta is measured.
+        """
+        return (flags.training and flags.enable_phys
+                and bool(self.config.get("train_seed_grid", False)))
+
+    def bake_train_seed_grid(self, params, statics, frame, cond, step):
+        """Per-step bake for training (`use_train_seed_grid`): smaller
+        lattice (``train_seed_grid_resolution``, default 64) and fully
+        detached — safe to call inside a differentiated step."""
+        grid = self.bake_seed_grid(
+            params, statics, frame, cond, step,
+            resolution=int(self.config.get("train_seed_grid_resolution", 64)))
+        return jax.tree.map(jax.lax.stop_gradient, grid)
+
     def _grid_seed(self, seed_grid, pts):
         """(seed_xc, seed_ok) for ``pts`` from the baked grid, or None."""
         g = self._grid_gather(seed_grid, pts)
@@ -473,11 +499,20 @@ class IntrinsicAvatar:
         k_strat, k_lap, k_jit, k_pbr = jax.random.split(rng, 4)
         lvl = level_of(occ, t_idx)
 
+        # training: a per-step baked grid serves the gradient-free stages
+        # (importance placement, the whole secondary march) when enabled;
+        # eval passes its per-frame grid in from the caller
+        if seed_grid is None and intervals is None \
+                and self.use_train_seed_grid(flags):
+            seed_grid = self.bake_train_seed_grid(params, statics, frame,
+                                                  cond, step)
+        train_grid_ok = not flags.training or self.use_train_seed_grid(flags)
+
         if intervals is None:
             intervals = self.sample_intervals(
                 params, statics, frame, cond, occ, rays_world, k_strat,
                 step, flags, t_idx,
-                seed_grid=None if flags.training else seed_grid)
+                seed_grid=seed_grid if train_grid_ok else None)
         t_starts, t_ends, smask = intervals
         S = t_starts.shape[1]
         mids = 0.5 * (t_starts + t_ends)
@@ -739,7 +774,7 @@ class IntrinsicAvatar:
                     sdf.reshape(R, S), mats, normal_smpl.reshape(R, S, 3),
                     k_pbr, step, flags, background_color, lvl,
                     emitter_state=emitter_state,
-                    seed_grid=None if flags.training else seed_grid)
+                    seed_grid=seed_grid if train_grid_ok else None)
                 out_dict.update(pbr_out)
 
         if flags.training:

@@ -308,7 +308,7 @@ class IntrinsicAvatarSystem:
     # ------------------------------------------------------------ steps
 
     def train_step_impl(self, state: TrainState, batch, t_idx,
-                        flags: RenderFlags, intervals=None):
+                        flags: RenderFlags, intervals=None, seed_grid=None):
         """One optimization step (pure, unjitted body).  ``batch`` carries
         rays + SMPL params + targets; ``flags`` is static.  Wrapped by the
         single-chip ``train_step`` jit and by
@@ -340,7 +340,7 @@ class IntrinsicAvatarSystem:
             out = self.model.forward(
                 params, self.statics, frame, cond, state.occ, batch["rays"],
                 k_fwd, step, flags, t_idx=t_idx, background_color=bg,
-                intervals=intervals)
+                intervals=intervals, seed_grid=seed_grid)
             loss, losses = self.compute_losses(params, out, batch, step,
                                                flags)
             return loss, (losses, out)
@@ -362,23 +362,35 @@ class IntrinsicAvatarSystem:
         Runs under its own ``diag.collect`` scope so the budget-overflow
         counters recorded by the coarse/importance field queries
         (``ovf_query``) are not silently dropped by the two-jit split;
-        :meth:`train_step` folds them into the loss scalars."""
+        :meth:`train_step` folds them into the loss scalars.
+
+        With ``train_seed_grid`` on (phys regime), the per-STEP
+        correspondence bake happens here — once per optimizer step,
+        shared by every grad-accum microbatch — and is returned as the
+        third output for :meth:`train_step` to thread into the shading
+        stage's secondary march."""
         from intrinsicavatar_tpu.utils import diag
         _, _, k_fwd = jax.random.split(state.rng, 3)
         k_strat = jax.random.split(k_fwd, 4)[0]
         frame, cond = self.model.prepare(state.params, self.statics, batch,
                                          state.step)
+        seed_grid = None
+        if self.model.use_train_seed_grid(flags):
+            seed_grid = self.model.bake_train_seed_grid(
+                state.params, self.statics, frame, cond, state.step)
         with diag.collect() as counters:
             iv = self.model.sample_intervals(
                 state.params, self.statics, frame, cond, state.occ,
-                batch["rays"], k_strat, state.step, flags, t_idx)
+                batch["rays"], k_strat, state.step, flags, t_idx,
+                seed_grid=seed_grid)
         return iv, {k: jnp.asarray(v, jnp.int32)
-                    for k, v in counters.items()}
+                    for k, v in counters.items()}, seed_grid
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def train_step_jit(self, state: TrainState, batch, t_idx,
-                       flags: RenderFlags, intervals=None):
-        return self.train_step_impl(state, batch, t_idx, flags, intervals)
+                       flags: RenderFlags, intervals=None, seed_grid=None):
+        return self.train_step_impl(state, batch, t_idx, flags, intervals,
+                                    seed_grid)
 
     def train_step(self, state: TrainState, batch, t_idx,
                    flags: RenderFlags):
@@ -396,14 +408,16 @@ class IntrinsicAvatarSystem:
         per-chip ray count already shrinks by the mesh size)."""
         if self.mesh is not None:
             return self.sharded_train_step(state, batch, t_idx, flags)
-        intervals, s_counters = self.sample_step(state, batch, t_idx, flags)
+        intervals, s_counters, seed_grid = self.sample_step(state, batch,
+                                                            t_idx, flags)
         n_micro = int(self.config.trainer.get("grad_accum", 1))
         if n_micro <= 1 or batch["rays"].shape[0] % n_micro != 0:
             state, losses = self.train_step_jit(state, batch, t_idx, flags,
-                                                intervals)
+                                                intervals, seed_grid)
         else:
             state, losses = self._train_step_accum(state, batch, t_idx,
-                                                   flags, intervals, n_micro)
+                                                   flags, intervals, n_micro,
+                                                   seed_grid)
         # fold sampling-stage overflow counters into the loss scalars
         # (summing with any same-named counter from the shading stage)
         losses = dict(losses)
@@ -458,7 +472,7 @@ class IntrinsicAvatarSystem:
 
     @functools.partial(jax.jit, static_argnums=(0, 4, 8))
     def _grad_microbatch(self, params, occ, step, flags, t_idx, key, bg,
-                         n_micro, i_micro, batch, intervals):
+                         n_micro, i_micro, batch, intervals, seed_grid=None):
         """Gradients of the shading loss on rays [i*m, (i+1)*m).
 
         ``i_micro`` is traced (one compile covers every chunk); the chunk
@@ -482,7 +496,7 @@ class IntrinsicAvatarSystem:
             out = self.model.forward(
                 params, self.statics, frame, cond, occ, mb["rays"], key,
                 step, flags, t_idx=t_idx, background_color=bg,
-                intervals=mb_iv)
+                intervals=mb_iv, seed_grid=seed_grid)
             loss, losses = self.compute_losses(params, out, mb, step, flags)
             return loss, losses
 
@@ -508,14 +522,15 @@ class IntrinsicAvatarSystem:
                           step=state.step + 1, rng=rng)
 
     def _train_step_accum(self, state: TrainState, batch, t_idx,
-                          flags: RenderFlags, intervals, n_micro: int):
+                          flags: RenderFlags, intervals, n_micro: int,
+                          seed_grid=None):
         rng, bg, keys = self._accum_keys(state.rng, n_micro)
         grads = None
         losses_acc = None
         for i in range(n_micro):
             g, losses = self._grad_microbatch(
                 state.params, state.occ, state.step, flags, t_idx, keys[i],
-                bg, n_micro, jnp.asarray(i), batch, intervals)
+                bg, n_micro, jnp.asarray(i), batch, intervals, seed_grid)
             grads = g if grads is None else self._tree_add(grads, g)
             losses_acc = (losses if losses_acc is None
                           else self._tree_add(losses_acc, losses))

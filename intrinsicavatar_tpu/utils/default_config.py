@@ -87,6 +87,17 @@ def default_config(dataset_length: int = 100) -> ConfigNode:
             "seed_grid_resolution": 96,
             "seed_grid_polish_iters": 6,
             "seed_grid_coh_factor": 3.0,
+            # per-STEP bake for the phys TRAINING regime: the secondary
+            # march (gradient-free, `render/pbr.py`) answers its coarse
+            # placement from the grid and warm-starts its fine queries,
+            # exactly as at eval, but from a grid baked once per
+            # optimizer step (a phys step's secondary fan-out issues
+            # ~40x more inverse-skinning queries than a 64^3 bake).
+            # Primary shading still runs the full search (its gradient
+            # path is untouched).  Opt-in until the TPU delta is
+            # measured (render/renderer.py use_train_seed_grid).
+            "train_seed_grid": False,
+            "train_seed_grid_resolution": 64,
             # gather only the ACTIVE secondary rays (fg & cos-gated — about
             # half the fan-out in light/uniform_light modes) into a static
             # budget = frac * M before the secondary march; overflow rays

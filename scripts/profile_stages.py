@@ -168,12 +168,12 @@ def main():
                                             state.step, flags)
             return loss
 
-        iv, _ = system.sample_step(state, batch, 0.0, flags)
+        iv, _, _ = system.sample_step(state, batch, 0.0, flags)
         v = loss_only(state, batch, iv, flags)
         float(v)
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            iv, _ = system.sample_step(state, batch, 0.0, flags)
+            iv, _, _ = system.sample_step(state, batch, 0.0, flags)
             v = loss_only(state, batch, iv, flags)
         float(v)
         dt = (time.perf_counter() - t0) / args.iters
