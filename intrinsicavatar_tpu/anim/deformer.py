@@ -476,9 +476,10 @@ class FastSNARF:
     def deform_seeded(self, statics: DeformerStatics, frame: FrameState,
                       pts: jax.Array, seed_xc: jax.Array, seed_ok: jax.Array,
                       geometry_fn: Callable, with_jac: bool = False,
-                      boost: int = 0, polish_iters: int | None = None):
+                      eval_mode: bool = True, boost: int = 0,
+                      polish_iters: int | None = None):
         """Seeded canonicalization: warm-start the root search at a known
-        nearby canonical correspondence (eval-mode only).
+        nearby canonical correspondence.
 
         One :func:`broyden_polish` lane per point replaces the
         ``n_init``-way search + duplicate filter + top-K machinery — the
@@ -488,6 +489,13 @@ class FastSNARF:
         roots, tests/test_pbr.py::test_seeded_polish_matches_search).
         Output layout matches :meth:`deform` with ``with_jac``/feature
         sections driven by ``geometry_fn``'s return.
+
+        ``eval_mode=False`` (training with a per-step grid) applies the
+        same implicit-function pose-gradient correction as :meth:`deform`
+        (`fast_snarf/deformer_torch.py:57-76`): the polished root and its
+        J^-1 are detached by construction, and the correction term routes
+        gradients through the forward skinning exactly as the searched
+        path does — same formula, same (converged) root.
         """
         from intrinsicavatar_tpu.utils import diag
         N = pts.shape[0]
@@ -512,7 +520,17 @@ class FastSNARF:
         valid_flat = res.valid
         weights = self.query_weights(statics,
                                      jnp.stack([cx, cy, cz], axis=-1))
-        _, fwd_rot = forward_skinning_soa(cx, cy, cz, weights, frame.tfs)
+        (xd0, xd1, xd2), fwd_rot = forward_skinning_soa(cx, cy, cz, weights,
+                                                        frame.tfs)
+        if not eval_mode:
+            jinv = res.j_inv
+            r0 = xd0 - jax.lax.stop_gradient(xd0)
+            r1 = xd1 - jax.lax.stop_gradient(xd1)
+            r2 = xd2 - jax.lax.stop_gradient(xd2)
+            vf = valid_flat.astype(cx.dtype)
+            cx = cx - vf * (jinv[0] * r0 + jinv[1] * r1 + jinv[2] * r2)
+            cy = cy - vf * (jinv[3] * r0 + jinv[4] * r1 + jinv[5] * r2)
+            cz = cz - vf * (jinv[6] * r0 + jinv[7] * r1 + jinv[8] * r2)
         c2w = res.j_inv if self.use_j_inv else fwd_rot
         return self._finish_query(N, 1, cx, cy, cz, c2w, valid_flat,
                                   geometry_fn, with_jac, boost,
@@ -560,10 +578,11 @@ class SNARFDeformer:
                 global_step=global_step)
             return geometry_fn(x_nr), j_inv_nr
 
-        if seed is not None and eval_mode:
+        if seed is not None:
             return self.rigid.deform_seeded(
                 statics, frame, points, seed[0], seed[1],
-                composed_geometry_fn, with_jac=with_jac, boost=boost,
+                composed_geometry_fn, with_jac=with_jac,
+                eval_mode=eval_mode, boost=boost,
                 polish_iters=seed_iters)
         return self.rigid.deform(statics, frame, points, composed_geometry_fn,
                                  with_jac=with_jac, eval_mode=eval_mode,

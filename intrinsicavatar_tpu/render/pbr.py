@@ -238,22 +238,48 @@ def _indirect_impl(model, params, statics, frame, cond, sched,
         # multi-init search with one gather + short polish per sample
         # (anim/seedgrid.py) — the secondary coarse pass is the relight
         # regime's dominant Broyden cost
-        gth = model._grid_gather(seed_grid, pos)
         # When the grid carries the baked SDF channel, this pass — which
         # only PLACES fine samples and never feeds a shading weight —
         # needs no field query at all: sdf rides the same row gather as
-        # the seeds (one [8*5]-float row per sample vs a seeded Broyden
+        # the seeds (one [8*6]-float row per sample vs a seeded Broyden
         # polish + hash encode + MLP).  The fine pass below re-queries
         # the placed midpoints exactly.  `baked_secondary_coarse: false`
         # restores the queried coarse pass.
-        baked = (gth is not None and gth[2] is not None
+        #
+        # The gather runs COMPACTED to the same occupied-slot budget the
+        # queried path uses (<= max_occ occupied samples per ray, so the
+        # 0.125 budget is overflow-free by construction): a full-lane
+        # [M*S, 8, 6] row gather pads 21x on TPU ((8,128) tiling of the
+        # minor dims) — 8 GB of HLO temp per shader chunk when the grad-
+        # context scheduler materializes it — while the compacted gather
+        # is 8x fewer rows and bounded.  Unoccupied slots keep the
+        # searched path's not-converged fill (sdf=1e5, invalid seed).
+        baked = (seed_grid is not None and seed_grid.has_sdf
                  and bool(model.config.get("baked_secondary_coarse", True)))
         s_iters = int(model.config.get("seed_grid_polish_iters", 6))
         if baked:
-            sdf = gth[2].reshape(t_starts.shape)
-            xc_coarse = gth[0].reshape(*t_starts.shape, 3)
-            ok_coarse = gth[1].reshape(t_starts.shape) & smask
+            from intrinsicavatar_tpu.ops.compact import (
+                compact_indices_interleaved)
+            from intrinsicavatar_tpu.utils import diag
+            MS = pos.shape[0]
+            budget = _secondary_budget(model, smask,
+                                       boost=flags.budget_boost)
+            diag.record("ovf_query", jax.nn.relu(
+                jnp.sum(smask.astype(jnp.int32)) - budget))
+            cidx, cpicked = compact_indices_interleaved(smask, budget)
+            g_xc, g_ok, g_sdf = model._grid_gather(seed_grid, pos[cidx])
+            g_ok = g_ok & cpicked
+            g_sdf = jnp.where(cpicked, g_sdf, 1e5)
+            sdf = jnp.full((MS,), 1e5, g_sdf.dtype).at[cidx].set(
+                g_sdf).reshape(t_starts.shape)
+            xc_coarse = jnp.zeros((MS, 3), g_xc.dtype).at[cidx].set(
+                jnp.where(cpicked[:, None], g_xc, 0.0)
+            ).reshape(*t_starts.shape, 3)
+            ok_coarse = jnp.zeros((MS,), bool).at[cidx].set(
+                g_ok).reshape(t_starts.shape) & smask
+            gth = None
         else:
+            gth = model._grid_gather(seed_grid, pos)
             grid_seed = None if gth is None else (gth[0], gth[1])
             with precision.scope(None if cd == "float32" else cd):
                 out = model._deform_query(

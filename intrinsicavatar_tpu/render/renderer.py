@@ -428,8 +428,17 @@ class IntrinsicAvatar:
         contract at all; the primary shading pass is untouched.  Opt-in
         via ``train_seed_grid: true`` until its TPU delta is measured.
         """
-        return (flags.training and flags.enable_phys
-                and bool(self.config.get("train_seed_grid", False)))
+        if not flags.training \
+                or not bool(self.config.get("train_seed_grid", False)):
+            return False
+        scope = str(self.config.get("train_seed_grid_scope", "phys"))
+        if scope == "all":
+            # radiance regime too: the bake also serves the importance
+            # rounds (placement) and the primary shading pass (seeded
+            # polish w/ the train-mode gradient correction) once
+            # importance sampling is on
+            return flags.enable_phys or flags.importance_sample
+        return flags.enable_phys
 
     def bake_train_seed_grid(self, params, statics, frame, cond, step):
         """Per-step bake for training (`use_train_seed_grid`): smaller
@@ -588,10 +597,17 @@ class IntrinsicAvatar:
         # tests/test_precision.py::test_primary_bf16_val_guard.
         from intrinsicavatar_tpu.ops import precision
         pd = str(self.config.get("primary_dtype", "bfloat16"))
-        # eval-only: warm-start the shading pass's inverse skinning from
-        # the per-frame baked correspondence grid (anim/seedgrid.py)
-        grid_seed = None if flags.training \
-            else self._grid_seed(seed_grid, pos_q)
+        # warm-start the shading pass's inverse skinning from the baked
+        # correspondence grid (anim/seedgrid.py): per-frame at eval;
+        # per-step at training when `train_seed_grid_primary` also routes
+        # the primary pass through the seeded polish (the train-mode
+        # gradient correction in FastSNARF.deform_seeded keeps the pose-
+        # gradient topology of the searched path)
+        allow_primary_seed = (not flags.training
+                              or bool(self.config.get(
+                                  "train_seed_grid_primary", True)))
+        grid_seed = (self._grid_seed(seed_grid, pos_q)
+                     if train_grid_ok and allow_primary_seed else None)
         with precision.scope(None if pd == "float32" else pd):
             out = self._deform_query(
                 params, statics, frame, cond, pos_q, sched,

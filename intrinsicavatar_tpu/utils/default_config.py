@@ -98,6 +98,15 @@ def default_config(dataset_length: int = 100) -> ConfigNode:
             # measured (render/renderer.py use_train_seed_grid).
             "train_seed_grid": False,
             "train_seed_grid_resolution": 64,
+            # "phys" (default) bakes only at phys steps; "all" also bakes
+            # at radiance steps once importance sampling is on — the grid
+            # then serves the importance rounds' placement and (with
+            # train_seed_grid_primary) the primary shading pass
+            "train_seed_grid_scope": "phys",
+            # route the primary shading pass through the seeded polish at
+            # training time too (FastSNARF.deform_seeded applies the same
+            # implicit-function pose-gradient correction as the search)
+            "train_seed_grid_primary": True,
             # gather only the ACTIVE secondary rays (fg & cos-gated — about
             # half the fan-out in light/uniform_light modes) into a static
             # budget = frac * M before the secondary march; overflow rays

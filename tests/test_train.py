@@ -178,3 +178,37 @@ def test_train_seed_grid_phys_step():
         for p0, p1 in zip(jax.tree.leaves(st_on.params),
                           jax.tree.leaves(s_on.params)))
     assert moved
+
+
+def test_train_seeded_primary_matches_searched():
+    """With the per-step grid on, `train_seed_grid_primary` routes the
+    primary shading pass through the seeded polish (+ the train-mode
+    pose-gradient correction) instead of the full multi-init search.
+    Both paths share the SAME baked importance placement, and the polish
+    converges to the search's root (tests/test_pbr.py), so the rendered
+    losses and the updated params must agree tightly."""
+    from intrinsicavatar_tpu.utils.config import merge
+
+    def make(primary):
+        cfg = merge(tiny_config(), {"model": {
+            "train_seed_grid": True, "train_seed_grid_resolution": 24,
+            "train_seed_grid_primary": primary}})
+        s = IntrinsicAvatarSystem(cfg)
+        return s, s.setup(np.zeros(10), jax.random.PRNGKey(0))
+
+    sys_p, state_p = make(True)
+    sys_s, state_s = make(False)
+    batch = make_batch(R=16)
+    flags = sys_p.flags_for_step(11000)._replace(
+        jitter_materials=False, with_curvature_loss=False, randomized=False)
+    st_p = state_p._replace(step=jnp.asarray(11000, jnp.int32))
+    st_s = state_s._replace(step=jnp.asarray(11000, jnp.int32))
+    s1, l1 = sys_p.train_step(st_p, batch, 0.0, flags)
+    s2, l2 = sys_s.train_step(st_s, batch, 0.0, flags)
+    np.testing.assert_allclose(float(l1["rgb_l1"]), float(l2["rgb_l1"]),
+                               rtol=2e-2)
+    np.testing.assert_allclose(float(l1["eikonal"]), float(l2["eikonal"]),
+                               rtol=5e-2, atol=1e-3)
+    for p1, p2 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   rtol=1e-2, atol=1e-4)
