@@ -26,16 +26,25 @@ if [ "$stage" = bench ] || [ "$stage" = all ]; then
 fi
 
 if [ "$stage" = train ] || [ "$stage" = all ]; then
-  # The full compressed recipe from scratch; checkpoint every 100 steps
-  # so a crash costs minutes.  ~2-3 h on one v5e chip.
+  # The full compressed recipe; checkpoint every 100 steps so a crash
+  # costs minutes.  ~3-4 h on one v5e chip.  grad_accum=2 halves the
+  # microbatch (same effective 2048 rays): the importance kick-in at
+  # step 300 compiles a second step variant and the un-accumulated
+  # peak OOMed the 16GB chip there (round-5 first attempt).  Resumes
+  # from the newest checkpoint when one exists.
+  ckpt=$(ls -d exp/capsule-m3c-r3/*/ckpt/step* 2>/dev/null \
+         |  sort -V | tail -1)
+  resume=(); [ -n "$ckpt" ] && resume=(--resume "$ckpt")
   run train python -m intrinsicavatar_tpu.launch \
     --config configs/capsule-m3c-r3.yaml --exp-dir exp \
-    trainer.ckpt_every_n_steps=100
+    "${resume[@]}" \
+    trainer.ckpt_every_n_steps=100 trainer.grad_accum=2 \
+    model.train_seed_grid=true
 fi
 
 if [ "$stage" = relight ] || [ "$stage" = all ]; then
   ckpt=$(ls -d exp/capsule-m3c-r3/*/ckpt/step* 2>/dev/null \
-         | sort -t p -k 3 -n | tail -1)
+         |  sort -V | tail -1)
   if [ -z "$ckpt" ]; then echo "no checkpoint for relight"; exit 1; fi
   run relight python -m intrinsicavatar_tpu.launch \
     --config configs/capsule-m3c-r3.yaml --exp-dir exp \
@@ -50,5 +59,7 @@ if [ "$stage" = profile ] || [ "$stage" = all ]; then
   run prof_relight_nosg  python scripts/profile_stages.py relight --chunk 1024 --no-seed-grid
   run prof_relight_chunk python scripts/profile_stages.py relight --chunk 2048
   run prof_phys          python scripts/profile_stages.py phys
+  run prof_phys_tsg      python scripts/profile_stages.py phys \
+                           --set model.train_seed_grid=true
   run prof_radiance      python scripts/profile_stages.py radiance
 fi
