@@ -457,20 +457,6 @@ class IntrinsicAvatarSystem:
 
     _PER_RAY_KEYS = ("rays", "rgb", "alpha", "rgb_wo_mask", "valid_mask")
 
-    @functools.partial(jax.jit, static_argnums=(0, 2))
-    def _accum_keys(self, rng, n_micro):
-        """Per-step rng bookkeeping shared by all microbatches."""
-        rng, k_bg, k_fwd = jax.random.split(rng, 3)
-        bg_mode = self.config.model.get("background_color", "random")
-        if bg_mode == "white":
-            bg = jnp.ones(3)
-        elif bg_mode == "black":
-            bg = jnp.zeros(3)
-        else:
-            bg = jax.random.uniform(k_bg, (3,))
-        return rng, bg, jax.random.split(k_fwd, n_micro)
-
-    @functools.partial(jax.jit, static_argnums=(0, 4, 8))
     def _grad_microbatch(self, params, occ, step, flags, t_idx, key, bg,
                          n_micro, i_micro, batch, intervals, seed_grid=None):
         """Gradients of the shading loss on rays [i*m, (i+1)*m).
@@ -504,39 +490,49 @@ class IntrinsicAvatarSystem:
             loss_fn, has_aux=True)(params)
         return grads, losses
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _tree_add(self, a, b):
-        return jax.tree.map(jnp.add, a, b)
+    @functools.partial(jax.jit, static_argnums=(0, 4, 6))
+    def _train_step_accum(self, state: TrainState, batch, t_idx,
+                          flags: RenderFlags, intervals, n_micro: int,
+                          seed_grid=None):
+        """ONE-dispatch grad-accum step: rng keys, the n_micro microbatch
+        gradient passes as a ``lax.scan`` (body compiled once, activation
+        buffers reused — memory stays at one microbatch, and the loop
+        carry serializes the iterations exactly like the old per-microbatch
+        dispatches), gradient average and optimizer apply, all inside a
+        single jit.
 
-    @functools.partial(jax.jit, static_argnums=(0, 2))
-    def _tree_scale(self, a, s):
-        return jax.tree.map(lambda x: x * s, a)
+        The previous implementation issued ~8 jit dispatches per optimizer
+        step (keys, 2x microbatch, 2x2 tree adds, apply, scale); on a
+        1-core host driving the TPU over a tunnel the measured dispatch
+        overhead was ~1.45 s/step against a ~1.5 s device step — the
+        wall-true telemetry discrepancy flagged in round 3/4."""
+        rng, k_bg, k_fwd = jax.random.split(state.rng, 3)
+        bg_mode = self.config.model.get("background_color", "random")
+        if bg_mode == "white":
+            bg = jnp.ones(3)
+        elif bg_mode == "black":
+            bg = jnp.zeros(3)
+        else:
+            bg = jax.random.uniform(k_bg, (3,))
+        keys = jax.random.split(k_fwd, n_micro)
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _apply_grads(self, state: TrainState, grads, n_micro, rng):
+        def body(grads, xs):
+            i_micro, key = xs
+            g, losses = self._grad_microbatch(
+                state.params, state.occ, state.step, flags, t_idx, key,
+                bg, n_micro, i_micro, batch, intervals, seed_grid)
+            return jax.tree.map(jnp.add, grads, g), losses
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        grads, losses = jax.lax.scan(
+            body, zeros, (jnp.arange(n_micro), keys))
         grads = jax.tree.map(lambda g: g / n_micro, grads)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        losses = jax.tree.map(lambda x: jnp.mean(x, axis=0), losses)
         return TrainState(params=params, opt_state=opt_state, occ=state.occ,
-                          step=state.step + 1, rng=rng)
-
-    def _train_step_accum(self, state: TrainState, batch, t_idx,
-                          flags: RenderFlags, intervals, n_micro: int,
-                          seed_grid=None):
-        rng, bg, keys = self._accum_keys(state.rng, n_micro)
-        grads = None
-        losses_acc = None
-        for i in range(n_micro):
-            g, losses = self._grad_microbatch(
-                state.params, state.occ, state.step, flags, t_idx, keys[i],
-                bg, n_micro, jnp.asarray(i), batch, intervals, seed_grid)
-            grads = g if grads is None else self._tree_add(grads, g)
-            losses_acc = (losses if losses_acc is None
-                          else self._tree_add(losses_acc, losses))
-        state = self._apply_grads(state, grads, n_micro, rng)
-        losses = self._tree_scale(losses_acc, 1.0 / n_micro)
-        return state, losses
+                          step=state.step + 1, rng=rng), losses
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def occ_update_step(self, state: TrainState, batch, t_idx):
