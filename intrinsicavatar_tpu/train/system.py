@@ -651,6 +651,10 @@ class IntrinsicAvatarSystem:
         wall_step0 = int(state.step)
         wall_rays = 0
         sect_t = {"data": 0.0, "occ": 0.0, "val": 0.0, "ckpt": 0.0}
+        from concurrent.futures import ThreadPoolExecutor
+        ckpt_pool = ThreadPoolExecutor(max_workers=1,
+                                       thread_name_prefix="ckpt")
+        ckpt_future = None
         for step in range(int(state.step), max_steps):
             _t = time.perf_counter()
             batch, t_idx = next(data_iter)
@@ -759,6 +763,17 @@ class IntrinsicAvatarSystem:
             if ckpt_fn is not None and ckpt_every > 0 and step > 0 \
                     and step % ckpt_every == 0:
                 _t = time.perf_counter()
-                ckpt_fn(state, step)
+                # async: the save (device->host transfer of the full state
+                # over the tunnel + orbax write, ~40 s for a 300 MB state)
+                # overlaps the next ~15 device steps.  One save in flight
+                # at most — the join below bounds device memory to one
+                # extra state copy; JAX transfers are thread-safe against
+                # the dispatching main thread.
+                if ckpt_future is not None:
+                    ckpt_future.result()
+                ckpt_future = ckpt_pool.submit(ckpt_fn, state, step)
                 sect_t["ckpt"] += time.perf_counter() - _t
+        if ckpt_future is not None:
+            ckpt_future.result()
+        ckpt_pool.shutdown(wait=True)
         return state, history
