@@ -76,7 +76,10 @@ class IntrinsicAvatarSystem:
         # bumped by fit() when a logged ovf_* counter is nonzero; each
         # level adds +1/16 headroom to every fractional query budget at
         # the cost of one recompile
-        self._budget_boost = 0
+        # budget_boost_init seeds the level on resume (the boost is host
+        # state, not part of the checkpoint tree: a restarted run would
+        # otherwise re-learn it through the same expensive recompiles)
+        self._budget_boost = int(config.system.get("budget_boost_init", 0))
         self._budget_boost_max = int(
             config.system.get("budget_boost_max", 6))
         # occupancy-adaptive primary shading budget (opt-in): track the
