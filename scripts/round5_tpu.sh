@@ -57,12 +57,18 @@ if [ "$stage" = relight ] || [ "$stage" = all ]; then
 fi
 
 if [ "$stage" = profile ] || [ "$stage" = all ]; then
-  # Stage attribution + lever on/off deltas for the README lever table.
+  # Stage attribution + lever on/off deltas for the README lever table,
+  # decision-critical variants first (each is a separate process and may
+  # pay a cold compile over the tunnel; if the round ends mid-matrix the
+  # bench-config-deciding rows are already banked).
   run prof_relight       python scripts/profile_stages.py relight --chunk 1024
-  run prof_relight_nosg  python scripts/profile_stages.py relight --chunk 1024 --no-seed-grid
   run prof_relight_chunk python scripts/profile_stages.py relight --chunk 2048
+  run prof_relight_nosg  python scripts/profile_stages.py relight --chunk 1024 --no-seed-grid
   run prof_phys          python scripts/profile_stages.py phys
   run prof_phys_tsg      python scripts/profile_stages.py phys \
-                           --set model.train_seed_grid=true
+                           --set train_seed_grid=true
   run prof_radiance      python scripts/profile_stages.py radiance
+  run prof_radiance_tsg  python scripts/profile_stages.py radiance \
+                           --set train_seed_grid=true \
+                           --set train_seed_grid_scope=all
 fi
