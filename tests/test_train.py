@@ -212,3 +212,36 @@ def test_train_seeded_primary_matches_searched():
     for p1, p2 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
                                    rtol=1e-2, atol=1e-4)
+
+
+def test_fit_async_checkpoint_and_boost_init(system_state):
+    """fit() submits checkpoint saves to a background thread (one in
+    flight, joined in order) and system.budget_boost_init seeds the
+    overflow-escalator level that a resumed run otherwise re-learns
+    through recompiles."""
+    import copy
+
+    sys_, state = system_state
+    batch = make_batch()
+
+    def data_iter():
+        while True:
+            yield batch, 0.0
+
+    saved = []
+
+    def ckpt_fn(st, step):
+        # device_get inside the worker thread, like the real orbax saver
+        saved.append((step, int(jax.device_get(st.step))))
+
+    st = state._replace(step=jnp.asarray(0, jnp.int32))
+    _, _ = sys_.fit(data_iter(), st, max_steps=5, log_every=10,
+                    ckpt_fn=ckpt_fn, ckpt_every=2)
+    # steps 2 and 4 checkpointed, in order; the saved state is post-update
+    # (train_step has already advanced state.step to step+1)
+    assert saved == [(2, 3), (4, 5)]
+
+    cfg = copy.deepcopy(sys_.config)
+    cfg.system.budget_boost_init = 3
+    boosted = IntrinsicAvatarSystem(cfg)
+    assert boosted.flags_for_step(0).budget_boost == 3
