@@ -642,7 +642,7 @@ class IntrinsicAvatarSystem:
                 pass
         tput = Throughput()
         history = []
-        ovf_acc: dict = {}
+        ovf_acc: list = []
         if self.mesh is not None:
             state = self.replicate_state(state)
         # wall-true throughput window: `tput` ticks after an *async*
@@ -653,7 +653,8 @@ class IntrinsicAvatarSystem:
         wall_t0 = time.perf_counter()
         wall_step0 = int(state.step)
         wall_rays = 0
-        sect_t = {"data": 0.0, "occ": 0.0, "val": 0.0, "ckpt": 0.0}
+        sect_t = {"data": 0.0, "occ": 0.0, "val": 0.0, "ckpt": 0.0,
+                  "dispatch": 0.0}
         from concurrent.futures import ThreadPoolExecutor
         ckpt_pool = ThreadPoolExecutor(max_workers=1,
                                        thread_name_prefix="ckpt")
@@ -679,25 +680,31 @@ class IntrinsicAvatarSystem:
                 state = self.occ_update_step(state, batch, t_idx)
                 sect_t["occ"] += time.perf_counter() - _t
             flags = self.flags_for_step(step)
+            _t = time.perf_counter()
             state, losses = self.train_step(state, batch, t_idx, flags)
+            sect_t["dispatch"] += time.perf_counter() - _t
             tput.tick(int(batch["rays"].shape[0]))
             wall_rays += int(batch["rays"].shape[0])
-            # accumulate overflow + budget-telemetry counters on-device
-            # EVERY step (lazy adds, no host sync) so a burst between log
-            # points cannot hide from the escalator and the adaptive
-            # controller sees the whole window; read + reset at log cadence
-            for k, v in losses.items():
-                if k.startswith("ovf_") or k.startswith("shading_"):
-                    ovf_acc[k] = ovf_acc[k] + v if k in ovf_acc else v
+            # buffer the overflow + budget-telemetry scalars EVERY step
+            # (device references only — appending is free; the previous
+            # per-step lazy `jnp.add`s were ~8 eager dispatches each a
+            # tunnel round trip) and batch-read + sum at log cadence so a
+            # burst between log points cannot hide from the escalator and
+            # the adaptive controller sees the whole window
+            ovf_acc.append({k: v for k, v in losses.items()
+                            if k.startswith("ovf_")
+                            or k.startswith("shading_")})
             if step % log_every == 0:
                 # device_get blocks on this step's losses: the window
                 # below is therefore a true device-sync-to-device-sync
                 # wall interval including all host work in between
                 scalars = {k: float(v) for k, v in
                            jax.device_get(losses).items() if np.ndim(v) == 0}
-                ovf_window = {k: float(v) for k, v in
-                              jax.device_get(ovf_acc).items()}
-                ovf_acc = {}
+                ovf_window: dict = {}
+                for d in jax.device_get(ovf_acc):
+                    for k, v in d.items():
+                        ovf_window[k] = ovf_window.get(k, 0.0) + float(v)
+                ovf_acc = []
                 scalars["rays_per_sec"] = tput.rays_per_sec
                 now = time.perf_counter()
                 wall_dt = now - wall_t0
