@@ -35,14 +35,14 @@ if [ "$stage" = train ] || [ "$stage" = all ]; then
   ckpt=$(ls -d exp/capsule-m3c-r3/*/ckpt/step* 2>/dev/null \
          |  sort -V | tail -1)
   resume=(); [ -n "$ckpt" ] && resume=(--resume "$ckpt")
-  # budget_boost_init=2: the escalator learned level 2 by step 550 of
-  # this recipe (overflows at 525/550); seeding it on resume skips two
+  # budget_boost_init=4: the escalator learned level 4 by step 600 of
+  # this recipe (overflows at 525/550); seeding it on resume skips the
   # expensive mid-run recompiles over the tunnel.
   run train python -m intrinsicavatar_tpu.launch \
     --config configs/capsule-m3c-r3.yaml --exp-dir exp \
     "${resume[@]}" \
     trainer.ckpt_every_n_steps=100 trainer.grad_accum=2 \
-    model.train_seed_grid=true system.budget_boost_init=2
+    model.train_seed_grid=true system.budget_boost_init=4
 fi
 
 if [ "$stage" = relight ] || [ "$stage" = all ]; then
