@@ -217,7 +217,9 @@ def main(argv=None):
                               all_frames_fn=all_frames, logger=logger,
                               val_fn=val_fn, val_every=val_every,
                               betas=dataset.betas, ckpt_fn=ckpt_fn,
-                              ckpt_every=ckpt_every)
+                              ckpt_every=ckpt_every,
+                              deadline_ts=float(
+                                  cfg.trainer.get("deadline_ts", 0.0)))
         ckpt.save_checkpoint(os.path.join(run_dir, "ckpt", "final"), state)
         print("saved checkpoint to", os.path.join(run_dir, "ckpt", "final"))
 

@@ -616,7 +616,7 @@ class IntrinsicAvatarSystem:
             log_every: int = 100, callback=None, all_frames_fn=None,
             prefetch: bool = True, logger=None, val_fn=None,
             val_every: int = 0, betas=None, ckpt_fn=None,
-            ckpt_every: int = 0):
+            ckpt_every: int = 0, deadline_ts: float = 0.0):
         """The training loop (replaces Lightning's trainer.fit).
 
         ``all_frames_fn()`` returns one pose batch per training frame; it is
@@ -783,6 +783,14 @@ class IntrinsicAvatarSystem:
                     ckpt_future.result()
                 ckpt_future = ckpt_pool.submit(ckpt_fn, state, step)
                 sect_t["ckpt"] += time.perf_counter() - _t
+            # wall-clock budget: exit the loop cleanly (the caller saves
+            # ckpt/final from the returned state) so a bounded run always
+            # leaves a resumable lineage + a free device for eval stages
+            if deadline_ts and time.time() > deadline_ts:
+                print(f"[{step}] wall deadline reached "
+                      f"({time.time() - deadline_ts:.0f}s past) — "
+                      "stopping training early", flush=True)
+                break
         if ckpt_future is not None:
             ckpt_future.result()
         ckpt_pool.shutdown(wait=True)

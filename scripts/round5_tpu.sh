@@ -26,31 +26,43 @@ if [ "$stage" = bench ] || [ "$stage" = all ]; then
 fi
 
 if [ "$stage" = train ] || [ "$stage" = all ]; then
-  # The full compressed recipe; checkpoint every 100 steps so a crash
-  # costs minutes.  ~3-4 h on one v5e chip.  grad_accum=2 halves the
-  # microbatch (same effective 2048 rays): the importance kick-in at
-  # step 300 compiles a second step variant and the un-accumulated
-  # peak OOMed the 16GB chip there (round-5 first attempt).  Resumes
-  # from the newest checkpoint when one exists.
-  ckpt=$(ls -d exp/capsule-m3c-r3/*/ckpt/step* 2>/dev/null \
+  # The r5 recipe (configs/capsule-m3c-r5.yaml): identical to r3 up to
+  # step 2500, phys phase pulled forward to 3000 and widened to 800
+  # steps.  Checkpoint every 100 steps so a crash costs minutes.
+  # grad_accum=2 halves the microbatch (same effective 2048 rays): the
+  # importance kick-in at step 300 compiles a second step variant and
+  # the un-accumulated peak OOMed the 16GB chip there (round-5 first
+  # attempt).  Resumes from the newest checkpoint when one exists
+  # (including r3-recipe checkpoints — the schedules agree below 2500).
+  # A persistent wall deadline (TRAIN_BUDGET_S from first invocation,
+  # default 4 h) bounds the *stage*, not each resume: training past the
+  # deadline exits cleanly with a final checkpoint so the relight /
+  # bench / profile stages always get their window on the chip.
+  dl_file=$LOG/train_deadline_ts
+  if [ ! -f "$dl_file" ]; then
+    echo $(( $(date +%s) + ${TRAIN_BUDGET_S:-14400} )) > "$dl_file"
+  fi
+  deadline=$(cat "$dl_file")
+  ckpt=$(ls -d exp/capsule-m3c-r*/*/ckpt/step* 2>/dev/null \
          |  sort -V | tail -1)
   resume=(); [ -n "$ckpt" ] && resume=(--resume "$ckpt")
   # budget_boost_init=4: the escalator learned level 4 by step 600 of
   # this recipe (overflows at 525/550); seeding it on resume skips the
   # expensive mid-run recompiles over the tunnel.
   run train python -m intrinsicavatar_tpu.launch \
-    --config configs/capsule-m3c-r3.yaml --exp-dir exp \
+    --config configs/capsule-m3c-r5.yaml --exp-dir exp \
     "${resume[@]}" \
-    trainer.ckpt_every_n_steps=100 trainer.grad_accum=2 \
-    model.train_seed_grid=true system.budget_boost_init=4
+    system.budget_boost_init=4 "trainer.deadline_ts=$deadline"
 fi
 
 if [ "$stage" = relight ] || [ "$stage" = all ]; then
-  ckpt=$(ls -d exp/capsule-m3c-r3/*/ckpt/step* 2>/dev/null \
-         |  sort -V | tail -1)
+  # prefer the clean-completion checkpoint; else the newest step ckpt
+  ckpt=$(ls -d exp/capsule-m3c-r*/*/ckpt/final 2>/dev/null | tail -1)
+  [ -z "$ckpt" ] && ckpt=$(ls -d exp/capsule-m3c-r*/*/ckpt/step* \
+                           2>/dev/null | sort -V | tail -1)
   if [ -z "$ckpt" ]; then echo "no checkpoint for relight"; exit 1; fi
   run relight python -m intrinsicavatar_tpu.launch \
-    --config configs/capsule-m3c-r3.yaml --exp-dir exp \
+    --config configs/capsule-m3c-r5.yaml --exp-dir exp \
     --mode test --resume "$ckpt" \
     dataset.hdri_filepath=procedural model.render_mode=light \
     model.samples_per_pixel=256

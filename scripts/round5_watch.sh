@@ -16,7 +16,7 @@ pid="${1:-$(cat /tmp/trainstage.pid 2>/dev/null || echo 0)}"
 note() { echo "[watch $(date +%H:%M:%S)] $*" | tee -a $LOG/watch.log; }
 
 final_ckpt() {  # the train stage saves ckpt/final on clean completion
-  ls -d exp/capsule-m3c-r3/*/ckpt/final 2>/dev/null | tail -1
+  ls -d exp/capsule-m3c-r*/*/ckpt/final 2>/dev/null | tail -1
 }
 
 note "watching train stage pid=$pid"
