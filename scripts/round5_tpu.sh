@@ -75,10 +75,13 @@ if [ "$stage" = profile ] || [ "$stage" = all ]; then
   # bench-config-deciding rows are already banked).
   run prof_relight       python scripts/profile_stages.py relight --chunk 1024
   run prof_relight_chunk python scripts/profile_stages.py relight --chunk 2048
-  run prof_relight_nosg  python scripts/profile_stages.py relight --chunk 1024 --no-seed-grid
+  run prof_relight_c4k   python scripts/profile_stages.py relight --chunk 4096
   run prof_phys          python scripts/profile_stages.py phys
   run prof_phys_tsg      python scripts/profile_stages.py phys \
                            --set train_seed_grid=true
+  run prof_relight_qc25  python scripts/profile_stages.py relight \
+                           --chunk 1024 --set query_compaction=0.25
+  run prof_relight_nosg  python scripts/profile_stages.py relight --chunk 1024 --no-seed-grid
   run prof_radiance      python scripts/profile_stages.py radiance
   run prof_radiance_tsg  python scripts/profile_stages.py radiance \
                            --set train_seed_grid=true \
