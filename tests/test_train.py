@@ -245,3 +245,25 @@ def test_fit_async_checkpoint_and_boost_init(system_state):
     cfg.system.budget_boost_init = 3
     boosted = IntrinsicAvatarSystem(cfg)
     assert boosted.flags_for_step(0).budget_boost == 3
+
+
+def test_fit_deadline_stops_early(system_state):
+    """fit(deadline_ts=<past>) completes exactly one step, then exits the
+    loop cleanly (the launcher saves ckpt/final from the returned state),
+    so a wall-bounded training stage always frees the device for the
+    relight/bench stages with a resumable lineage."""
+    import time
+
+    sys_, state = system_state
+    batch = make_batch()
+
+    def data_iter():
+        while True:
+            yield batch, 0.0
+
+    st = state._replace(step=jnp.asarray(0, jnp.int32))
+    t0 = time.time()
+    out, hist = sys_.fit(data_iter(), st, max_steps=500, log_every=1,
+                         deadline_ts=t0 - 1.0)
+    assert int(out.step) == 1, "one step runs before the deadline check"
+    assert len(hist) == 1 and hist[0][0] == 0
