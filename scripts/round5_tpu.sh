@@ -86,4 +86,10 @@ if [ "$stage" = profile ] || [ "$stage" = all ]; then
   run prof_radiance_tsg  python scripts/profile_stages.py radiance \
                            --set train_seed_grid=true \
                            --set train_seed_grid_scope=all
+  # stage attribution (forward vs backward vs importance rounds)
+  run prof_radiance_fwd  python scripts/profile_stages.py radiance \
+                           --forward-only
+  run prof_radiance_noimp python scripts/profile_stages.py radiance \
+                           --no-importance
+  run prof_phys_fwd      python scripts/profile_stages.py phys --forward-only
 fi
