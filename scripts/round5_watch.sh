@@ -43,4 +43,6 @@ note "bench (BENCH_DEADLINE_S=5400 so all regimes land + cache is hot)"
 BENCH_DEADLINE_S=5400 python bench.py > $LOG/bench_r5.json 2> $LOG/bench_r5.err
 note "profile matrix"
 bash scripts/round5_tpu.sh profile >> $LOG/profile_stage.out 2>&1
+note "finalize: bank artifacts into the repo"
+bash scripts/round5_finalize.sh >> $LOG/finalize.out 2>&1
 note "all stages done"
