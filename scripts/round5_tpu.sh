@@ -92,4 +92,15 @@ if [ "$stage" = profile ] || [ "$stage" = all ]; then
   run prof_radiance_noimp python scripts/profile_stages.py radiance \
                            --no-importance
   run prof_phys_fwd      python scripts/profile_stages.py phys --forward-only
+  # standing opt-in levers (round-3 ask #4: measure, then flip or kill)
+  run prof_radiance_conc python scripts/profile_stages.py radiance \
+                           --concentrate 4
+  # adaptive_query_compaction's steady-state effect is a static budget
+  # fraction (the fit-loop controller picks the bucket); probe the
+  # bucket the r5 run's measured valid fraction (~0.42) would NOT
+  # shrink below, and one tighter, as the on/off cost proxy
+  run prof_radiance_qc31 python scripts/profile_stages.py radiance \
+                           --set query_compaction=0.3125
+  run prof_phys_qc31     python scripts/profile_stages.py phys \
+                           --set query_compaction=0.3125
 fi
