@@ -61,11 +61,13 @@ if [ "$stage" = relight ] || [ "$stage" = all ]; then
   [ -z "$ckpt" ] && ckpt=$(ls -d exp/capsule-m3c-r*/*/ckpt/step* \
                            2>/dev/null | sort -V | tail -1)
   if [ -z "$ckpt" ]; then echo "no checkpoint for relight"; exit 1; fi
+  # 8 stride-sampled test frames (of 24) keep the full pose range while
+  # fitting the relight protocol in ~25 min at 256 spp
   run relight python -m intrinsicavatar_tpu.launch \
     --config configs/capsule-m3c-r5.yaml --exp-dir exp \
     --mode test --resume "$ckpt" \
     dataset.hdri_filepath=procedural model.render_mode=light \
-    model.samples_per_pixel=256
+    model.samples_per_pixel=256 dataset.max_frames=8
 fi
 
 if [ "$stage" = profile ] || [ "$stage" = all ]; then
