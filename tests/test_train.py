@@ -267,3 +267,28 @@ def test_fit_deadline_stops_early(system_state):
                          deadline_ts=t0 - 1.0)
     assert int(out.step) == 1, "one step runs before the deadline check"
     assert len(hist) == 1 and hist[0][0] == 0
+
+
+def test_train_seed_grid_phys_step_grad_accum():
+    """The live r5 recipe combination — phys regime + per-step baked
+    grid + trainer.grad_accum=2 (fused lax.scan microbatches consuming
+    ONE shared bake from sample_step) — runs and stays finite."""
+    from intrinsicavatar_tpu.utils.config import merge
+
+    cfg = merge(tiny_config(), {
+        "model": {"train_seed_grid": True,
+                  "train_seed_grid_resolution": 24},
+        "trainer": {"grad_accum": 2}})
+    sys_ = IntrinsicAvatarSystem(cfg)
+    state = sys_.setup(np.zeros(10), jax.random.PRNGKey(0))
+    batch = make_batch(R=16)
+    flags = sys_.flags_for_step(11000)
+    st = state._replace(step=jnp.asarray(11000, jnp.int32))
+    s, losses = sys_.train_step(st, batch, 0.0, flags)
+    assert np.isfinite(float(losses["total"]))
+    assert int(s.step) == 11001
+    moved = any(
+        not np.allclose(np.asarray(p1), np.asarray(p0))
+        for p0, p1 in zip(jax.tree.leaves(st.params),
+                          jax.tree.leaves(s.params)))
+    assert moved
