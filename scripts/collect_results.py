@@ -44,9 +44,12 @@ def main():
     save = os.path.join(run, "save")
     if os.path.isdir(save):
         os.makedirs(os.path.join(out, "save"), exist_ok=True)
-        for f in sorted(os.listdir(save))[:args.max_images]:
-            if f.endswith(".png"):
-                shutil.copy(os.path.join(save, f), os.path.join(out, "save", f))
+        entries = sorted(os.listdir(save))
+        pngs = [f for f in entries if f.endswith(".png")]
+        extras = [f for f in entries
+                  if f.endswith((".obj", ".exr", ".hdr"))]
+        for f in pngs[:args.max_images] + extras:
+            shutil.copy(os.path.join(save, f), os.path.join(out, "save", f))
 
     # summarize the val metric curve into one json for quick reading
     curve = []
