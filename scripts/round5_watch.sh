@@ -37,10 +37,12 @@ if [ -z "$(final_ckpt)" ]; then
   note "train never completed after 3 attempts; proceeding with newest ckpt"
 fi
 
-note "relight stage"
-bash scripts/round5_tpu.sh relight >> $LOG/relight_stage.out 2>&1
 note "bench (BENCH_DEADLINE_S=5400 so all regimes land + cache is hot)"
 BENCH_DEADLINE_S=5400 python bench.py > $LOG/bench_r5.json 2> $LOG/bench_r5.err
+note "relight stage"
+bash scripts/round5_tpu.sh relight >> $LOG/relight_stage.out 2>&1
+note "intermediate finalize: bank bench+relight evidence now"
+bash scripts/round5_finalize.sh >> $LOG/finalize.out 2>&1
 note "profile matrix"
 bash scripts/round5_tpu.sh profile >> $LOG/profile_stage.out 2>&1
 note "finalize: bank artifacts into the repo"
