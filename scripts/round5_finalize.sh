@@ -25,6 +25,7 @@ else
 fi
 if [ -n "$train_run" ]; then
   python scripts/collect_results.py "$train_run" --name capsule-m3c-r5 || true
+  python scripts/gen_runregime_table.py || true
 fi
 
 # the relight (test-mode) run dir is the newest one that is not the
