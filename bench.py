@@ -107,10 +107,11 @@ def emit(metric, value, unit, **extra):
     print(json.dumps(line), flush=True)
 
 
-def bench_train(n_rays, bench_step, metric, grad_accum):
+def bench_train(n_rays, bench_step, metric, grad_accum, extra=None,
+                **emit_extra):
     import jax
     import jax.numpy as jnp
-    system, state = build_system(grad_accum=grad_accum)
+    system, state = build_system(grad_accum=grad_accum, extra=extra)
     batch = make_batch(n_rays)
     state = state._replace(step=jnp.asarray(bench_step, jnp.int32))
     flags = system.flags_for_step(bench_step)
@@ -125,7 +126,7 @@ def bench_train(n_rays, bench_step, metric, grad_accum):
         state, losses = system.train_step(state, batch, 0.0, flags)
     float(losses["total"])
     dt = time.perf_counter() - t0
-    emit(metric, n_rays * n_iters / dt, "rays/s")
+    emit(metric, n_rays * n_iters / dt, "rays/s", **emit_extra)
 
 
 def bench_relight(ray_chunk=1024, spp=1024):
@@ -278,6 +279,18 @@ def main():
                     bench_relight(ray_chunk=256)   # HBM fallback
                 except Exception:
                     traceback.print_exc()
+    # bonus lever row, generous windows only (the in-round watcher run,
+    # not the driver's tight end-of-round window): the phys regime with
+    # the r5 recipe's per-step baked correspondence grid.  Separate
+    # metric name so the lineage metric above stays tsg-off.
+    if only in (None, "phys_tsg") and not _skip_if_tight("phys_tsg", 600):
+        try:
+            bench_train(n_rays, 15000, "train_rays_per_sec_phys_tsg",
+                        grad_accum=4 if n_rays >= 4096 else 2,
+                        extra={"model": {"train_seed_grid": True}},
+                        train_seed_grid=True)
+        except Exception:
+            traceback.print_exc()
 
     # The driver parses the FINAL line: re-emit the headline (or the most
     # important metric that did get measured) so later-regime failures or
