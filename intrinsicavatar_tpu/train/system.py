@@ -464,8 +464,9 @@ class IntrinsicAvatarSystem:
                          n_micro, i_micro, batch, intervals, seed_grid=None):
         """Gradients of the shading loss on rays [i*m, (i+1)*m).
 
-        ``i_micro`` is traced (one compile covers every chunk); the chunk
-        size m = R // n_micro is static."""
+        ``i_micro`` may be a python int (unrolled accum loop — the slice
+        becomes static) or traced; the chunk size m = R // n_micro is
+        static either way."""
         R = batch["rays"].shape[0]
         m = R // n_micro
 
@@ -508,7 +509,17 @@ class IntrinsicAvatarSystem:
         step (keys, 2x microbatch, 2x2 tree adds, apply, scale); on a
         1-core host driving the TPU over a tunnel the measured dispatch
         overhead was ~1.45 s/step against a ~1.5 s device step — the
-        wall-true telemetry discrepancy flagged in round 3/4."""
+        wall-true telemetry discrepancy flagged in round 3/4.
+
+        The microbatch loop is UNROLLED (python loop under jit), not a
+        ``lax.scan``: inside a while-loop body XLA:TPU normalizes temps to
+        default tiled layouts, which pads the encode's ``[N, 2]``
+        per-level features and the ``[T, 2]`` table casts 64x (2-wide
+        minor dim -> 128 lanes) — measured +15 GB of HLO temp padding at
+        a 2048-ray microbatch vs the same body in the entry computation
+        (bench OOM, round 5).  Straight-line code keeps XLA's layout
+        freedom and sequential buffer reuse, so peak memory stays at ~one
+        microbatch like the old per-dispatch form."""
         rng, k_bg, k_fwd = jax.random.split(state.rng, 3)
         bg_mode = self.config.model.get("background_color", "random")
         if bg_mode == "white":
@@ -519,16 +530,16 @@ class IntrinsicAvatarSystem:
             bg = jax.random.uniform(k_bg, (3,))
         keys = jax.random.split(k_fwd, n_micro)
 
-        def body(grads, xs):
-            i_micro, key = xs
+        grads = None
+        losses_per = []
+        for i_micro in range(n_micro):
             g, losses = self._grad_microbatch(
-                state.params, state.occ, state.step, flags, t_idx, key,
-                bg, n_micro, i_micro, batch, intervals, seed_grid)
-            return jax.tree.map(jnp.add, grads, g), losses
-
-        zeros = jax.tree.map(jnp.zeros_like, state.params)
-        grads, losses = jax.lax.scan(
-            body, zeros, (jnp.arange(n_micro), keys))
+                state.params, state.occ, state.step, flags, t_idx,
+                keys[i_micro], bg, n_micro, i_micro, batch, intervals,
+                seed_grid)
+            grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+            losses_per.append(losses)
+        losses = jax.tree.map(lambda *xs: jnp.stack(xs), *losses_per)
         grads = jax.tree.map(lambda g: g / n_micro, grads)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
